@@ -1,0 +1,241 @@
+"""The agent simulation core: all tracks advance in lockstep.
+
+The reference simulates each track with a sequential Python while-loop in a
+process pool, one agent per task (ssrs/movmodel.py:264-318,
+ssrs/simulator.py:360-381). On TPU the same stochastic process is a
+``lax.scan`` over steps with the whole agent population batched per step:
+
+- per-cell move weights (harmonic-mean updraft lift x potential drop x
+  inverse distance, ssrs/movmodel.py:294-305) depend only on the cell, so
+  they are precomputed once into a ``(nrow, ncol, 9)`` table and each
+  agent-step is a 9-float gather;
+- the direction-memory restriction is a ring buffer of the last K move
+  indices, AND-ing rows of a static (9, 9) mask table
+  (ssrs/movmodel.py:307-309);
+- the fallback cascade and nu-sharpening follow
+  ``generate_move_probabilities`` (ssrs/movmodel.py:220-244);
+- moves are sampled by inverse-CDF with one uniform per agent-step
+  (statistically equivalent to ``np.random.choice``, ssrs/movmodel.py:312);
+- burn-in boundary pushes and boundary absorption are masks
+  (ssrs/movmodel.py:276,285-291,205-217);
+- presence maps accumulate on device with a scatter-add per step, so
+  100k x 10k trajectories never materialize.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .moves import (CENTER_ZERO, NEIGHBOR_DELTAS, NEIGHBOR_NORMS_INV,
+                    directional_probs, move_probability_cascade,
+                    restriction_table)
+
+
+class TrackParams(NamedTuple):
+    """Static per-run parameters of the movement model."""
+    grid_shape: Tuple[int, int]        # (nrow, ncol)
+    move_dirn: float                   # degrees cw from north
+    nu: float                          # sharpening exponent
+    memory_k: int                      # direction-memory length (>= 0)
+    burnin: int                        # boundary-push steps
+    nsteps: int                        # step cap (static)
+
+
+def harmonic_mean_weights(updraft: jax.Array,
+                          potential: Optional[jax.Array]) -> jax.Array:
+    """Precompute per-cell move weights ``(nrow, ncol, 9)``.
+
+    base[r, c, m] = hm(w[r, c], w[r+dr, c+dc])
+                    * [(p[r, c] - p[r+dr, c+dc]) / ||d||  if potential given]
+
+    matching the 3x3 patch math at ssrs/movmodel.py:294-305 (updraft clipped
+    to >= 1e-6 first, center weight 0 via the zero potential drop /
+    zero inverse norm). Border rows/cols are never gathered as centers
+    (agents are pushed or absorbed first) and hold zeros.
+    """
+    w = jnp.clip(jnp.asarray(updraft, jnp.float32), min=1e-6)
+    wpad = jnp.pad(w, 1, mode='constant', constant_values=1e-6)
+    layers = []
+    inv_norms = NEIGHBOR_NORMS_INV
+    if potential is not None:
+        p = jnp.asarray(potential, jnp.float32)
+        ppad = jnp.pad(p, 1, mode='constant', constant_values=jnp.nan)
+    nrow, ncol = w.shape
+    for m in range(9):
+        dr, dc = int(NEIGHBOR_DELTAS[m, 0]), int(NEIGHBOR_DELTAS[m, 1])
+        wn = jax.lax.dynamic_slice(wpad, (dr + 1, dc + 1), (nrow, ncol))
+        hm = 2.0 / (1.0 / w + 1.0 / wn)
+        if potential is not None:
+            pn = jax.lax.dynamic_slice(ppad, (dr + 1, dc + 1), (nrow, ncol))
+            hm = hm * (p - pn) * inv_norms[m]
+        elif m == 4:
+            hm = jnp.zeros_like(hm)
+        layers.append(hm)
+    return jnp.stack(layers, axis=-1)
+
+
+def _push_from_boundary(r: jax.Array, c: jax.Array, nrow: int, ncol: int):
+    """Burn-in boundary push (ssrs/movmodel.py:205-217). Note the
+    reference's asymmetry: rows pushed when <= 1, cols when <= 0."""
+    r = jnp.where(r <= 1, r + 2, jnp.where(r >= nrow - 2, r - 2, r))
+    c = jnp.where(c <= 0, c + 2, jnp.where(c >= ncol - 2, c - 2, c))
+    return r, c
+
+
+class SimState(NamedTuple):
+    pos: jax.Array        # (N, 2) int32
+    mem: jax.Array        # (N, K) int32 move-index ring buffer (init 4)
+    alive: jax.Array      # (N,) bool
+    key: jax.Array        # scalar PRNG key
+    presence: jax.Array   # (nrow, ncol) int32
+    step: jax.Array       # scalar int32
+
+
+def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
+                 dirp: jax.Array, table: jax.Array):
+    """Build the per-step transition function.
+
+    ``base_flat`` is the flattened ``(nrow*ncol, 9)`` per-cell weight table
+    (None for the pure directed-random-walk model, ssrs/simulator.py:370-381).
+    """
+    nrow, ncol = params.grid_shape
+    deltas = jnp.asarray(NEIGHBOR_DELTAS)
+    center0 = jnp.asarray(CENTER_ZERO)
+
+    def step(state: SimState) -> SimState:
+        r, c = state.pos[:, 0], state.pos[:, 1]
+        in_interior = (r > 0) & (r < nrow - 1) & (c > 0) & (c < ncol - 1)
+        past_burnin = state.step > params.burnin
+        under_cap = state.step < params.nsteps  # chunked loop may overshoot
+        alive = state.alive & (in_interior | ~past_burnin) & under_cap
+        pr, pc = jax.lax.cond(
+            past_burnin,
+            lambda rc: rc,
+            lambda rc: _push_from_boundary(rc[0], rc[1], nrow, ncol),
+            (r, c))
+
+        if base_flat is not None:
+            idx = pr * ncol + pc
+            base = jnp.take(base_flat, idx, axis=0,
+                            indices_are_sorted=False, unique_indices=False)
+        else:
+            base = jnp.broadcast_to(dirp[None, :], (r.shape[0], 9))
+
+        if params.memory_k > 0:
+            mask = center0[None, :] * jnp.prod(
+                jnp.take(table, state.mem, axis=0), axis=1)
+        else:
+            mask = jnp.broadcast_to(center0[None, :], base.shape)
+
+        q = move_probability_cascade(base, mask, dirp, params.nu)
+
+        key, sub = jax.random.split(state.key)
+        cum = jnp.cumsum(q, axis=1)
+        u = jax.random.uniform(sub, (q.shape[0], 1),
+                               dtype=cum.dtype) * cum[:, -1:]
+        mi = jnp.sum(cum < u, axis=1).astype(jnp.int32)
+        mi = jnp.minimum(mi, 8)
+
+        d = deltas[mi]
+        new_r = jnp.where(alive, pr + d[:, 0], r)
+        new_c = jnp.where(alive, pc + d[:, 1], c)
+        new_pos = jnp.stack([new_r, new_c], axis=1)
+
+        if params.memory_k > 0:
+            new_mem = jnp.concatenate(
+                [state.mem[:, 1:], mi[:, None]], axis=1)
+            new_mem = jnp.where(alive[:, None], new_mem, state.mem)
+        else:
+            new_mem = state.mem
+
+        flat = jnp.clip(new_r, 0, nrow - 1) * ncol + jnp.clip(
+            new_c, 0, ncol - 1)
+        presence = state.presence.reshape(-1).at[flat].add(
+            alive.astype(jnp.int32), indices_are_sorted=False,
+            unique_indices=False).reshape(nrow, ncol)
+
+        return SimState(pos=new_pos, mem=new_mem, alive=alive, key=key,
+                        presence=presence, step=state.step + 1)
+
+    return step
+
+
+def init_state(params: TrackParams, start_rc: jax.Array,
+               key: jax.Array) -> SimState:
+    """Initial state; the start cell counts toward presence (the reference
+    trajectory includes the start, ssrs/movmodel.py:281-283)."""
+    nrow, ncol = params.grid_shape
+    pos = jnp.asarray(start_rc, jnp.int32)
+    n = pos.shape[0]
+    mem = jnp.full((n, max(params.memory_k, 1)), 4, jnp.int32)
+    alive = jnp.ones((n,), bool)
+    flat = (jnp.clip(pos[:, 0], 0, nrow - 1) * ncol +
+            jnp.clip(pos[:, 1], 0, ncol - 1))
+    presence = jnp.zeros((nrow * ncol,), jnp.int32).at[flat].add(
+        1).reshape(nrow, ncol)
+    return SimState(pos=pos, mem=mem, alive=alive, key=key,
+                    presence=presence, step=jnp.asarray(0, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=('params', 'record_tracks',
+                                             'chunk'))
+def simulate_presence(params: TrackParams, start_rc: jax.Array,
+                      key: jax.Array,
+                      updraft: Optional[jax.Array] = None,
+                      potential: Optional[jax.Array] = None,
+                      record_tracks: bool = False,
+                      chunk: int = 128):
+    """Simulate all tracks and return the presence-count map.
+
+    Without ``record_tracks``: runs a while-loop over chunks of ``chunk``
+    scan steps with an all-dead early exit (the reference stops each track
+    at boundary exit; most die long before the cap). Returns
+    ``(presence int32 (nrow, ncol), steps_taken int32)``.
+
+    With ``record_tracks``: additionally materializes the (nsteps+1, N, 2)
+    int16 trajectory array (small runs only — memory is nsteps*N*4 bytes).
+    """
+    dirp = jnp.asarray(directional_probs(params.move_dirn))
+    table = jnp.asarray(restriction_table())
+    if updraft is not None:
+        base = harmonic_mean_weights(updraft, potential)
+        base_flat = base.reshape(-1, 9)
+    else:
+        base_flat = None
+    step_fn = make_step_fn(params, base_flat, dirp, table)
+    state = init_state(params, start_rc, key)
+
+    if record_tracks:
+        def scan_body(st, _):
+            new = step_fn(st)
+            return new, (new.pos.astype(jnp.int16), new.alive)
+        state, (track_tail, alive_tail) = jax.lax.scan(
+            scan_body, state, None, length=params.nsteps)
+        tracks = jnp.concatenate(
+            [jnp.asarray(start_rc, jnp.int16)[None], track_tail], axis=0)
+        # per-agent trajectory length = 1 (start) + moves made
+        lengths = 1 + jnp.sum(alive_tail.astype(jnp.int32), axis=0)
+        return state.presence, state.step, tracks, lengths
+
+    nchunks = -(-params.nsteps // chunk)
+
+    def chunk_body(st, _):
+        return step_fn(st), None
+
+    def while_cond(carry):
+        st, i = carry
+        return (i < nchunks) & jnp.any(st.alive)
+
+    def while_body(carry):
+        st, i = carry
+        st, _ = jax.lax.scan(chunk_body, st, None, length=chunk)
+        return st, i + 1
+
+    state, _ = jax.lax.while_loop(
+        while_cond, while_body, (state, jnp.asarray(0, jnp.int32)))
+    return state.presence, state.step

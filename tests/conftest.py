@@ -1,0 +1,31 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+multi-chip sharding paths are exercised without TPU hardware (the strategy
+SURVEY.md SS4 prescribes; real-chip benchmarking happens in bench.py)."""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope='session')
+def synthetic_dem():
+    """A deterministic, terrain-like DEM: sum of ridges + smooth bumps."""
+    ny, nx = 120, 150
+    y = np.linspace(0, 4 * np.pi, ny)[:, None]
+    x = np.linspace(0, 5 * np.pi, nx)[None, :]
+    z = (400 * np.sin(0.7 * x) * np.cos(0.9 * y)
+         + 150 * np.sin(2.3 * x + 0.5) + 100 * np.cos(1.7 * y)
+         + 1500)
+    return z.astype(np.float64)
