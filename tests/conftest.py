@@ -10,8 +10,16 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compile cache: XLA CPU compiles are ~300 ms per tiny kernel,
+# which dominates test wall-clock without it.
+_CACHE = os.path.join(os.path.dirname(__file__), '..', '.jax_cache')
+jax.config.update('jax_compilation_cache_dir', os.path.abspath(_CACHE))
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
 
 
 @pytest.fixture(scope='session')

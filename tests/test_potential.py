@@ -1,0 +1,155 @@
+"""Directional-potential tests: boundary conditions, stencil weights vs the
+reference assembly, the host float64 direct solver vs the oracle, and the
+device multigrid solver's accuracy envelope.
+
+Note on precision (measured here, documented in
+ssrs_tpu/potential/direct.py): the reference's 1e-8 harmonic-mean floor
+yields condition numbers ~1e9-1e10 on thresholded-updraft fields, so the
+f32 device solution legitimately differs from the f64 one on
+high-contrast fields; the multigrid is validated against the oracle on
+moderate-contrast fields and for self-consistency on hard ones.
+"""
+
+import numpy as np
+import pytest
+
+from ssrs_tpu.potential import (boundary_masks, boundary_nodes,
+                                solve_potential, solve_potential_direct,
+                                solve_potential_for_direction,
+                                transition_planes)
+
+from oracles import assemble_reference_system, solve_reference_potential
+
+
+def _conductivity_hard(shape, seed=0):
+    """Thresholded-updraft-like field: plateaus of zero + smooth lobes."""
+    rng = np.random.default_rng(seed)
+    nrow, ncol = shape
+    y = np.linspace(0, 3 * np.pi, nrow)[:, None]
+    x = np.linspace(0, 4 * np.pi, ncol)[None, :]
+    w = 1.5 * np.abs(np.sin(x) * np.cos(0.8 * y)) + 0.1 * rng.random(shape)
+    w[w < 0.6] = 0.0  # zero plateaus, like a thresholded updraft
+    return w.astype(np.float32)
+
+
+def _conductivity_moderate(shape, seed=0):
+    """Smooth positive conductivity (contrast ~6x): the well-conditioned
+    regime."""
+    rng = np.random.default_rng(seed)
+    nrow, ncol = shape
+    y = np.linspace(0, 3 * np.pi, nrow)[:, None]
+    x = np.linspace(0, 4 * np.pi, ncol)[None, :]
+    w = 1.0 + 0.8 * np.sin(x) * np.cos(0.8 * y) + 0.05 * rng.random(shape)
+    return w.astype(np.float32)
+
+
+@pytest.mark.parametrize('dirn', [0., 45., 90., 180., 270., 315.])
+def test_boundary_nodes_cover_split(dirn):
+    nodes, pots = boundary_nodes(dirn, (20, 30))
+    assert nodes.min() >= 0 and nodes.max() < 20 * 30
+    assert len(np.unique(nodes)) == len(nodes)
+    assert (pots[:nodes.size // 2] == 0).all()
+    assert (pots[nodes.size // 2:] == 1000.).all()
+
+
+def test_boundary_masks_roundtrip():
+    nodes, pots = boundary_nodes(0., (12, 17))
+    bmask, bvals = boundary_masks(0., (12, 17))
+    nrow = 12
+    for n, p in zip(nodes, pots):
+        assert bmask[n % nrow, n // nrow]
+        assert bvals[n % nrow, n // nrow] == p
+    assert bmask.sum() == len(nodes)
+
+
+def test_boundary_direction_zero_is_north_south():
+    bmask, bvals = boundary_masks(0., (10, 14))
+    assert bmask[0, :].all() and bmask[-1, :].all()
+    assert not bmask[1:-1, 0].any() and not bmask[1:-1, -1].any()
+    assert (bvals[-1, :] == 0.).all()
+    assert (bvals[0, :] == 1000.).all()
+
+
+def test_transition_planes_match_reference_matrix():
+    """Every edge weight of the device stencil vs the oracle assembly
+    (includes the east-column fac quirk)."""
+    shape = (7, 9)
+    cond = _conductivity_hard(shape, seed=3)
+    p_ref = assemble_reference_system(cond.astype(np.float64)).toarray()
+    planes = np.asarray(transition_planes(cond))
+    nrow, ncol = shape
+    from ssrs_tpu.agents import NEIGHBOR_DELTAS
+    dirs = [m for m in range(9) if m != 4]
+    for k, m in enumerate(dirs):
+        dr, dc = NEIGHBOR_DELTAS[m]
+        for r in range(nrow):
+            for c in range(ncol):
+                rr, cc = r + dr, c + dc
+                if not (0 <= rr < nrow and 0 <= cc < ncol):
+                    assert planes[k, r, c] == 0.
+                    continue
+                np.testing.assert_allclose(
+                    planes[k, r, c], p_ref[c * nrow + r, cc * nrow + rr],
+                    rtol=5e-5, atol=1e-10,
+                    err_msg=f'edge ({r},{c})->({rr},{cc}) dir {m}')
+
+
+@pytest.mark.parametrize('dirn', [0., 90., 45.])
+def test_direct_solver_matches_oracle(dirn):
+    """The host f64 path must reproduce the oracle (same algorithm,
+    vectorized assembly) to float64 solver tolerance."""
+    shape = (24, 30)
+    cond = _conductivity_hard(shape, seed=1)
+    nodes, pots = boundary_nodes(dirn, shape)
+    want = solve_reference_potential(cond.astype(np.float64), nodes, pots)
+    got = solve_potential_direct(cond, dirn)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_mg_matches_direct_on_moderate_contrast():
+    shape = (24, 30)
+    cond = _conductivity_moderate(shape, seed=2)
+    want = solve_potential_direct(cond, 0.)
+    got, resid = solve_potential_for_direction(cond, 0., tol=1e-7,
+                                               maxiter=300)
+    got = np.asarray(got)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1.0)
+
+
+def test_mg_self_consistent_on_hard_field():
+    """On high-contrast fields the f32 answer may differ from f64 (see
+    module docstring) but must satisfy its own equations: small residual,
+    exact boundary clamp, maximum principle."""
+    shape = (24, 30)
+    cond = _conductivity_hard(shape, seed=1)
+    bmask, bvals = boundary_masks(0., shape)
+    got, resid = solve_potential(cond, bmask, bvals, tol=1e-7, maxiter=300)
+    got = np.asarray(got)
+    assert float(resid) < 1e-7 * np.linalg.norm(bvals) + 1e-2
+    np.testing.assert_array_equal(got[bmask], bvals[bmask])
+    assert got.min() >= -1.0 and got.max() <= 1001.0
+
+
+def test_mg_uniform_conductivity_gradient():
+    shape = (20, 20)
+    cond = np.ones(shape, np.float32)
+    got, resid = solve_potential_for_direction(cond, 0., tol=1e-8,
+                                               maxiter=300)
+    got = np.asarray(got)
+    assert (got[0, :] == 1000.).all() and (got[-1, :] == 0.).all()
+    col = got[:, 10]
+    assert (np.diff(col) < 0).all()
+
+
+def test_f32_limit_is_understood():
+    """Pin the measured phenomenon: on a hard field the converged f32
+    solution differs from f64 by more than f32 roundoff — this is the
+    documented conditioning limit, not a solver bug. If this test ever
+    fails because the difference became small, the docs in
+    potential/direct.py should be updated."""
+    shape = (24, 30)
+    cond = _conductivity_hard(shape, seed=1)
+    want = solve_potential_direct(cond, 0.).astype(np.float64)
+    got, _ = solve_potential_for_direction(cond, 0., tol=1e-7, maxiter=300)
+    diff = np.abs(np.asarray(got) - want).max()
+    assert diff > 1.0  # genuinely limited by conditioning, documented
