@@ -1,0 +1,126 @@
+"""Headline benchmark, run on real TPU hardware by the driver.
+
+Workload mirrors the reference's main documented benchmark (BASELINE.md):
+WY-scale 500x600 grid @100 m, uniform wind, fluidflow movement model —
+scaled up to the north-star 100k tracks. The reference simulates 500-1000
+tracks on an 8-core laptop pool at roughly 4e4 agent-steps/s total
+(500 tracks x ~700 steps in 9 s, workshop/ssrs_demo.ipynb:445); that number
+is the ``vs_baseline`` denominator.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_AGENT_STEPS_PER_SEC = 4.0e4  # derivation above
+
+
+def synthetic_dem(nrow, ncol, res):
+    """Deterministic ridge-and-valley terrain, WY-like relief (~1 km)."""
+    y = np.linspace(0, 1, nrow)[:, None]
+    x = np.linspace(0, 1, ncol)[None, :]
+    z = (500 * np.sin(2 * np.pi * 3.5 * x) * np.cos(2 * np.pi * 2.5 * y)
+         + 300 * np.sin(2 * np.pi * 7 * x + 1.3)
+         + 200 * np.cos(2 * np.pi * 5 * y + 0.4)
+         + 2000)
+    return z.astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ssrs_tpu.agents import TrackParams, get_starting_indices, \
+        simulate_presence
+    from ssrs_tpu.fields import (get_above_threshold_speed,
+                                 orographic_updraft_from_dem)
+    from ssrs_tpu.potential import solve_potential_for_direction
+
+    nrow, ncol, res = 500, 600, 100.0
+    n_tracks = 100_000
+    step_cap = 10_000
+
+    dem = jnp.asarray(synthetic_dem(nrow, ncol, res))
+
+    # --- updraft field throughput (8 wind directions, like seasonal) ---
+    speeds = 10. * jnp.ones((nrow, ncol), jnp.float32)
+
+    @jax.jit
+    def updraft_for_dirn(dirn):
+        w = orographic_updraft_from_dem(dem, res, speeds,
+                                        dirn * jnp.ones_like(speeds))
+        return get_above_threshold_speed(w, 0.75)
+
+    dirns = np.arange(8, dtype=np.float32) * 45.
+    updraft_for_dirn(dirns[0]).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for d in dirns:
+        w = updraft_for_dirn(d)
+    w.block_until_ready()
+    dt_updraft = time.perf_counter() - t0
+    gridpoints_per_sec = 8 * nrow * ncol / dt_updraft
+
+    conductivity = updraft_for_dirn(270.)
+
+    # --- directional potential (device multigrid) ---
+    solve = lambda: solve_potential_for_direction(
+        conductivity, 0., tol=1e-6, maxiter=100)
+    pot, _ = solve()
+    pot.block_until_ready()  # compile+run
+    t0 = time.perf_counter()
+    pot, resid = solve()
+    pot.block_until_ready()
+    dt_potential = time.perf_counter() - t0
+
+    # --- track simulation: the headline metric ---
+    rows, cols = get_starting_indices(
+        n_tracks, [5., 55., 1., 2.], 'random', (ncol * res / 1000.,
+                                                nrow * res / 1000.),
+        res, rng=np.random.default_rng(42))
+    starts = np.stack([rows, cols], axis=1).astype(np.int32)
+    params = TrackParams(grid_shape=(nrow, ncol), move_dirn=0., nu=1.,
+                         memory_k=1, burnin=int(min(nrow, ncol) / 10),
+                         nsteps=step_cap)
+
+    def run(key):
+        presence, steps = simulate_presence(
+            params, starts, key, updraft=conductivity, potential=pot,
+            chunk=256)
+        return presence, steps
+
+    presence, steps = run(jax.random.key(0))
+    presence.block_until_ready()  # compile + first run
+    t0 = time.perf_counter()
+    presence, steps = run(jax.random.key(1))
+    presence.block_until_ready()
+    dt_sim = time.perf_counter() - t0
+
+    total_presence = np.asarray(presence).astype(np.int64).sum()
+    agent_steps = int(total_presence) - n_tracks  # moves made
+    steps_per_sec = agent_steps / dt_sim
+
+    result = {
+        'metric': 'agent_steps_per_sec_per_chip',
+        'value': round(steps_per_sec, 1),
+        'unit': 'agent-steps/s',
+        'vs_baseline': round(steps_per_sec / REFERENCE_AGENT_STEPS_PER_SEC,
+                             2),
+        'detail': {
+            'grid': [nrow, ncol],
+            'tracks': n_tracks,
+            'agent_steps': agent_steps,
+            'sim_seconds': round(dt_sim, 3),
+            'scan_steps_taken': int(steps),
+            'updraft_gridpoints_per_sec': round(gridpoints_per_sec, 1),
+            'potential_solve_seconds': round(dt_potential, 3),
+            'device': str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

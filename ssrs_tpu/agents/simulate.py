@@ -166,18 +166,27 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
 
 
 def init_state(params: TrackParams, start_rc: jax.Array,
-               key: jax.Array) -> SimState:
+               key: jax.Array,
+               valid: Optional[jax.Array] = None) -> SimState:
     """Initial state; the start cell counts toward presence (the reference
-    trajectory includes the start, ssrs/movmodel.py:281-283)."""
+    trajectory includes the start, ssrs/movmodel.py:281-283).
+
+    ``valid`` marks real agents; padding agents (added to make the batch
+    divisible across devices) start dead and contribute nothing.
+    """
     nrow, ncol = params.grid_shape
     pos = jnp.asarray(start_rc, jnp.int32)
     n = pos.shape[0]
-    mem = jnp.full((n, max(params.memory_k, 1)), 4, jnp.int32)
-    alive = jnp.ones((n,), bool)
+    # derive from pos so the varying-axis type matches under shard_map
+    # (a fresh jnp.full would be unvarying and break the scan carry)
+    mem = jnp.broadcast_to(pos[:, :1] * 0 + 4,
+                           (n, max(params.memory_k, 1))).astype(jnp.int32)
+    alive = (pos[:, 0] == pos[:, 0]) if valid is None \
+        else jnp.asarray(valid, bool)
     flat = (jnp.clip(pos[:, 0], 0, nrow - 1) * ncol +
             jnp.clip(pos[:, 1], 0, ncol - 1))
     presence = jnp.zeros((nrow * ncol,), jnp.int32).at[flat].add(
-        1).reshape(nrow, ncol)
+        alive.astype(jnp.int32)).reshape(nrow, ncol)
     return SimState(pos=pos, mem=mem, alive=alive, key=key,
                     presence=presence, step=jnp.asarray(0, jnp.int32))
 
@@ -189,7 +198,8 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
                       updraft: Optional[jax.Array] = None,
                       potential: Optional[jax.Array] = None,
                       record_tracks: bool = False,
-                      chunk: int = 128):
+                      chunk: int = 128,
+                      valid: Optional[jax.Array] = None):
     """Simulate all tracks and return the presence-count map.
 
     Without ``record_tracks``: runs a while-loop over chunks of ``chunk``
@@ -208,7 +218,7 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
     else:
         base_flat = None
     step_fn = make_step_fn(params, base_flat, dirp, table)
-    state = init_state(params, start_rc, key)
+    state = init_state(params, start_rc, key, valid=valid)
 
     if record_tracks:
         def scan_body(st, _):

@@ -4,7 +4,7 @@ SURVEY.md SS4 prescribes; real-chip benchmarking happens in bench.py)."""
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'  # override: env presets 'axon' (TPU)
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
@@ -13,6 +13,11 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# sitecustomize imports jax before this file runs, locking jax_platforms
+# from the environment ('axon'); a config update still wins because no
+# backend has been initialized yet.
+jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compile cache: XLA CPU compiles are ~300 ms per tiny kernel,
 # which dominates test wall-clock without it.

@@ -1,0 +1,75 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+
+from ssrs_tpu.agents import TrackParams, simulate_presence
+from ssrs_tpu.parallel import make_mesh, pad_to_multiple, \
+    simulate_presence_sharded
+
+GRID = (48, 56)
+
+
+def _params(nsteps=120):
+    return TrackParams(grid_shape=GRID, move_dirn=0., nu=1., memory_k=1,
+                       burnin=int(min(GRID) / 10), nsteps=nsteps)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_pad_to_multiple():
+    starts = np.arange(10).reshape(5, 2).astype(np.int32)
+    padded, valid = pad_to_multiple(starts, 8)
+    assert padded.shape == (8, 2)
+    assert valid.sum() == 5 and not valid[5:].any()
+    padded2, valid2 = pad_to_multiple(starts, 5)
+    assert padded2.shape == (5, 2) and valid2.all()
+
+
+def test_sharded_matches_presence_total(rng):
+    """Sharded run must produce a valid presence map whose total equals
+    starts + moves, with padding agents contributing nothing."""
+    n = 100  # not divisible by 8 -> exercises padding
+    starts = np.stack([rng.integers(3, 6, n), rng.integers(20, 30, n)],
+                      axis=1).astype(np.int32)
+    presence, steps = simulate_presence_sharded(
+        _params(), starts, jax.random.key(3))
+    presence = np.asarray(presence)
+    assert presence.sum() >= n  # every real agent contributes its start
+    assert presence[GRID[0] // 2:, :].sum() > 0  # northward drift happened
+
+
+def test_sharded_deterministic(rng):
+    n = 64
+    starts = np.stack([rng.integers(3, 6, n), rng.integers(20, 30, n)],
+                      axis=1).astype(np.int32)
+    p1, _ = simulate_presence_sharded(_params(), starts, jax.random.key(5))
+    p2, _ = simulate_presence_sharded(_params(), starts, jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_sharded_fluidflow(rng):
+    nrow, ncol = GRID
+    y = np.linspace(0, np.pi, nrow)[:, None]
+    x = np.linspace(0, 2 * np.pi, ncol)[None, :]
+    updraft = (1.0 + 0.8 * np.sin(x) * np.sin(y)).astype(np.float32)
+    potential = (np.linspace(1000., 0., nrow)[:, None]
+                 * np.ones((1, ncol))).astype(np.float32)
+    n = 96
+    starts = np.stack([rng.integers(3, 6, n), rng.integers(20, 30, n)],
+                      axis=1).astype(np.int32)
+    presence, _ = simulate_presence_sharded(
+        _params(), starts, jax.random.key(7), updraft=updraft,
+        potential=potential)
+    presence = np.asarray(presence)
+    assert presence.sum() > n
+    # statistical agreement with the single-device engine
+    p_single, _ = simulate_presence(_params(), starts, jax.random.key(7),
+                                    updraft=updraft, potential=potential)
+    a = presence / presence.sum()
+    b = np.asarray(p_single) / np.asarray(p_single).sum()
+    # different RNG partitioning -> only distributional agreement
+    assert np.abs(a.sum(axis=1) - b.sum(axis=1)).sum() < 0.4
