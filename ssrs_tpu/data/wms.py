@@ -1,0 +1,119 @@
+"""OGC WMS GetMap client (requests-based; owslib is unavailable).
+
+Reference semantics (ssrs/terrain/wms.py): tile the request so no tile
+exceeds ``max_gridsize`` pixels, download each tile with bounded retries,
+mosaic tiles into one GeoTIFF. The reference mosaics with rasterio.merge;
+here tiles share one resolution and grid so the mosaic is a plain array
+paste.
+
+WMS 1.3.0 + EPSG:4326 uses (lat, lon) axis order in BBOX; 1.1.1 uses
+(lon, lat) — handled in ``_bbox_param``.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+from .geotiff import read_geotiff, write_geotiff
+
+
+class WMSError(Exception):
+    pass
+
+
+class WMS:
+    """Tiled WMS GetMap downloader (ssrs/terrain/wms.py:12-188)."""
+
+    fmt = 'image/tiff'
+    version = '1.3.0'
+
+    def __init__(self, bnds: Tuple[float, float, float, float],
+                 crs_str: str, url: str, max_gridsize: int = 2000,
+                 max_retries: int = 3):
+        if not (bnds[2] > bnds[0] and bnds[3] > bnds[1]):
+            raise ValueError(f'WMS: Invalid bounds {bnds}\n')
+        self.bnds = bnds
+        self.crs_str = crs_str
+        self.url = url
+        self.max_gridsize = max_gridsize
+        self.max_retries = max_retries
+
+    def _bbox_param(self, bnds) -> str:
+        if self.version == '1.3.0' and self.crs_str.upper() in (
+                'EPSG:4326', 'EPSG:4269'):
+            return f'{bnds[1]},{bnds[0]},{bnds[3]},{bnds[2]}'
+        return f'{bnds[0]},{bnds[1]},{bnds[2]},{bnds[3]}'
+
+    def segment_region_into_tiles(self, res: float
+                                  ) -> List[Tuple[float, float, float, float]]:
+        """Tile bounds so each tile is <= max_gridsize px
+        (ssrs/terrain/wms.py:72-88)."""
+        width = int(round((self.bnds[2] - self.bnds[0]) / res))
+        height = int(round((self.bnds[3] - self.bnds[1]) / res))
+        count_x = int(width // self.max_gridsize) + 1
+        count_y = int(height // self.max_gridsize) + 1
+        xbnds = np.linspace(self.bnds[0], self.bnds[2], count_x + 1)
+        ybnds = np.linspace(self.bnds[1], self.bnds[3], count_y + 1)
+        return [(xbnds[i], ybnds[j], xbnds[i + 1], ybnds[j + 1])
+                for i in range(count_x) for j in range(count_y)]
+
+    def _getmap(self, layer: str, bnds, width: int, height: int) -> bytes:
+        import requests
+        params = {
+            'service': 'WMS', 'request': 'GetMap',
+            'version': self.version, 'layers': layer,
+            ('crs' if self.version == '1.3.0' else 'srs'): self.crs_str,
+            'bbox': self._bbox_param(bnds),
+            'width': str(width), 'height': str(height),
+            'format': self.fmt,
+        }
+        last = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                resp = requests.get(self.url, params=params, timeout=120)
+                resp.raise_for_status()
+                if 'xml' in resp.headers.get('Content-Type', ''):
+                    raise WMSError(f'WMS service exception: '
+                                   f'{resp.content[:500]!r}')
+                return resp.content
+            except Exception as exc:  # bounded retry (wms.py:105-125)
+                last = exc
+                time.sleep(min(2 ** attempt, 8))
+        raise WMSError(f'WMS: Connection issues! Try again ({last})')
+
+    def download_raster(self, layer: str, res: float, fpath: str) -> None:
+        """Download, tile by tile, and mosaic into ``fpath``
+        (ssrs/terrain/wms.py:167-183)."""
+        max_res = min(self.bnds[2] - self.bnds[0],
+                      self.bnds[3] - self.bnds[1])
+        if not 0. < res < max_res:
+            raise ValueError(f'WMS: Invalid resolution {res} for bnds '
+                             f'{self.bnds} in crs {self.crs_str}\n')
+        tiles = self.segment_region_into_tiles(res)
+        arrays = []
+        for bnds in tiles:
+            width = int(round((bnds[2] - bnds[0]) / res))
+            height = int(round((bnds[3] - bnds[1]) / res))
+            raw = self._getmap(layer, bnds, width, height)
+            info = read_geotiff(io.BytesIO(raw))
+            arrays.append((bnds, info.data))
+        self._mosaic(arrays, res, fpath)
+
+    def _mosaic(self, tiles, res: float, fpath: str) -> None:
+        width = int(round((self.bnds[2] - self.bnds[0]) / res))
+        height = int(round((self.bnds[3] - self.bnds[1]) / res))
+        out = np.zeros((height, width), np.float32)
+        for bnds, data in tiles:
+            col0 = int(round((bnds[0] - self.bnds[0]) / res))
+            row0 = int(round((self.bnds[3] - bnds[3]) / res))
+            h, w = data.shape
+            out[row0:row0 + h, col0:col0 + w] = data
+        os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
+        epsg = int(self.crs_str.split(':')[1]) \
+            if ':' in self.crs_str else 4326
+        write_geotiff(fpath, out, self.bnds, epsg=epsg)

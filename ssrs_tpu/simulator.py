@@ -1,0 +1,560 @@
+"""The ``Simulator`` facade: Config-driven end-to-end pipeline.
+
+API and artifact parity with the reference ``ssrs.Simulator``
+(ssrs/simulator.py:34-804): identical constructor flow (region setup ->
+terrain -> turbines -> wind -> updraft fields), identical output-directory
+layout and artifact naming
+(``{case_id}_{d<dirn>}_{t<thr*100>}_{model}[_r<real>]_<artifact>``), the
+same uniform/snapshot/seasonal modes, and the same public methods.
+
+Differences by design (TPU-native engine):
+- track simulation runs as a lockstep device scan over all agents
+  (ssrs_tpu.agents.simulate) instead of a process pool; presence maps
+  accumulate on device, so ``track_count`` can be 100k+;
+- ``_tracks.pkl`` files are still written (list of int16 (row, col)
+  trajectories, same format) whenever the run is small enough to
+  materialize trajectories (``track_count * steps <= track_pkl_budget``),
+  alongside a ``_counts.npy`` presence-count artifact that the presence
+  plots prefer;
+- randomness is keyed (ssrs_tpu.core.rng), not global-NumPy-state;
+- the directional potential is solved by the device multigrid or the
+  host float64 direct solver (see ssrs_tpu/potential/direct.py for the
+  precision discussion); 'auto' picks the direct solver for
+  reference-exact numerics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from dataclasses import asdict
+from datetime import datetime
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+from .config import Config
+from .core.rng import case_key, root_key
+from .core.timing import PhaseTimer, elapsed_str
+from .agents import (TrackParams, get_starting_indices, simulate_presence,
+                     smooth_presence)
+from .fields import (compute_aspect_degrees, compute_orographic_updraft,
+                     compute_slope_degrees, compute_thermals,
+                     get_above_threshold_speed)
+from .data import (Terrain, TurbinesUSWTB, get_raster_in_projected_crs,
+                   transform_bounds, transform_coordinates)
+from .plotting import PlottingMixin
+from .utils import (get_extent_from_bounds, get_seasonal_datetimes_list,
+                    makedir_if_not_exists)
+
+
+class Simulator(PlottingMixin, Config):
+    """SSRS simulation orchestrator (reference: ssrs/simulator.py:34)."""
+
+    lonlat_crs = 'EPSG:4326'
+    time_format = 'y%Ym%md%dh%H'
+    track_pkl_budget = 40_000_000  # track_count * step-cap cells
+
+    def __init__(self, in_config: Config = None, **kwargs) -> None:
+        if in_config is None:
+            super().__init__(**kwargs)
+        else:
+            super().__init__(**asdict(in_config))
+        print(f'\n---- SSRS (TPU) in {self.sim_mode} mode')
+        print(f'Run name: {self.run_name}')
+
+        self.timer = PhaseTimer()
+        self._rng = np.random.default_rng(
+            self.sim_seed if self.sim_seed >= 0 else None)
+        if self.sim_seed >= 0:
+            print('Specified random number seed:', self.sim_seed)
+
+        # directories (ssrs/simulator.py:54-61)
+        print(f'Output dir: {os.path.join(self.out_dir, self.run_name)}')
+        self.data_dir = os.path.join(self.out_dir, self.run_name, 'data/')
+        self.fig_dir = os.path.join(self.out_dir, self.run_name, 'figs/')
+        self.mode_data_dir = os.path.join(self.data_dir, self.sim_mode)
+        self.mode_fig_dir = os.path.join(self.fig_dir, self.sim_mode)
+        for dirname in (self.mode_data_dir, self.mode_fig_dir):
+            makedir_if_not_exists(dirname)
+
+        # config dump (ssrs/simulator.py:63-67)
+        fpath = os.path.join(self.out_dir, self.run_name,
+                             f'{self.run_name}.json')
+        with open(fpath, 'w', encoding='utf-8') as cfile:
+            json.dump({k: v for k, v in self.__dict__.items()
+                       if not k.startswith('_') and _jsonable(v)},
+                      cfile, ensure_ascii=False, indent=2, default=str)
+
+        # grid (ssrs/simulator.py:69-74)
+        print(f'Terrain resolution = {self.resolution} m')
+        xsize = int(round(self.region_width_km[0] * 1000. / self.resolution))
+        ysize = int(round(self.region_width_km[1] * 1000. / self.resolution))
+        self.gridsize = (ysize, xsize)
+        print(f'Terrain grid size = {self.gridsize}')
+
+        # bounds in projected + lonlat crs (ssrs/simulator.py:76-85)
+        proj_west, proj_south = transform_coordinates(
+            self.lonlat_crs, self.projected_crs,
+            self.southwest_lonlat[0], self.southwest_lonlat[1])
+        proj_east = float(np.asarray(proj_west).ravel()[0]) \
+            + (xsize - 1) * self.resolution
+        proj_north = float(np.asarray(proj_south).ravel()[0]) \
+            + (ysize - 1) * self.resolution
+        self.bounds = (float(np.asarray(proj_west).ravel()[0]),
+                       float(np.asarray(proj_south).ravel()[0]),
+                       proj_east, proj_north)
+        self.extent = get_extent_from_bounds(self.bounds)
+        self.lonlat_bounds = transform_bounds(
+            self.bounds, self.projected_crs, self.lonlat_crs)
+
+        # terrain layers (ssrs/simulator.py:87-99), with the offline
+        # synthetic fallback appended to the reference's 3DEP->SRTM chain
+        self.region = Terrain(self.lonlat_bounds, self.data_dir)
+        with self.timer.phase('terrain'):
+            self._setup_terrain()
+
+        # turbines (ssrs/simulator.py:101-105)
+        turbine_fpath = os.path.join(self.mode_data_dir, 'turbines.csv')
+        with self.timer.phase('turbines'):
+            self.turbines = TurbinesUSWTB(
+                self.bounds, self.projected_crs,
+                self.turbine_minimum_hubheight, turbine_fpath,
+                self.print_verbose)
+
+        # WTK layer names (ssrs/simulator.py:107-115)
+        self.wtk_layers = {
+            'wspeed': f'windspeed_{int(self.wtk_orographic_height)}m',
+            'wdirn': f'winddirection_{int(self.wtk_orographic_height)}m',
+            'pressure': f'pressure_{int(self.wtk_thermal_height)}m',
+            'temperature': f'temperature_{int(self.wtk_thermal_height)}m',
+            'blheight': 'boundary_layer_height',
+            'surfheatflux': 'surface_heat_flux',
+        }
+
+        # mode dispatch (ssrs/simulator.py:117-133)
+        if self.sim_mode.lower() != 'uniform':
+            from .data import WTK
+            self.wtk = WTK(self.wtk_source, self.lonlat_bounds,
+                           list(self.wtk_layers.values()),
+                           self.mode_data_dir)
+            if self.sim_mode.lower() == 'seasonal':
+                self.dtimes = self.get_seasonal_datetimes()
+            elif self.sim_mode.lower() == 'snapshot':
+                self.dtimes = [datetime(*self.snapshot_datetime)]
+            self.wtk.download_data(self.dtimes, self.max_cores)
+            self.case_ids = [dt.strftime(self.time_format)
+                             for dt in self.dtimes]
+            with self.timer.phase('updrafts'):
+                self.compute_orographic_updrafts_using_wtk()
+        else:
+            print(f'Uniform mode: Wind speed = {self.uniform_windspeed} m/s')
+            print(f'Uniform mode: Wind dirn = {self.uniform_winddirn} '
+                  'deg(cw)')
+            self.case_ids = [self._get_uniform_id()]
+            with self.timer.phase('updrafts'):
+                self.compute_orographic_updraft_uniform()
+
+        for case_id in self.case_ids:
+            self.compute_thermal_updrafts(case_id)
+
+        # plotting settings (ssrs/simulator.py:138-142)
+        fig_aspect = self.region_width_km[0] / self.region_width_km[1]
+        self.fig_size = (self.fig_height * fig_aspect, self.fig_height)
+        self.km_bar = min([1, 5, 10], key=lambda x: abs(
+            x - self.region_width_km[0] // 4))
+        print('SSRS Simulator initiation done.')
+
+    # ---- terrain ---------------------------------------------------------
+
+    def _setup_terrain(self):
+        """3DEP -> SRTM -> synthetic source chain
+        (ssrs/simulator.py:87-99 + offline fallback)."""
+        try:
+            self.terrain_layers = {
+                'Elevation': 'DEM',
+                'Slope': 'Slope Degrees',
+                'Aspect': 'Aspect Degrees',
+            }
+            self.region.download(list(self.terrain_layers.values()))
+        except Exception:
+            print('Connection issues with 3DEP WMS service! Trying SRTM1..')
+            try:
+                self.terrain_layers = {'Elevation': 'SRTM1'}
+                self.region.download(list(self.terrain_layers.values()))
+            except Exception:
+                print('SRTM unavailable too! Using synthetic terrain '
+                      '(offline mode).')
+                self.terrain_layers = {'Elevation': 'SYNTHETIC'}
+                self.region.download(list(self.terrain_layers.values()))
+
+    def get_terrain_elevation(self):
+        return self.get_terrain_layer('Elevation')
+
+    def get_terrain_slope(self):
+        """Slope layer, or Horn-stencil recompute from the DEM
+        (ssrs/simulator.py:152-159)."""
+        try:
+            return self.get_terrain_layer('Slope')
+        except Exception:
+            elev = self.get_terrain_elevation()
+            return np.asarray(compute_slope_degrees(elev, self.resolution))
+
+    def get_terrain_aspect(self):
+        try:
+            return self.get_terrain_layer('Aspect')
+        except Exception:
+            elev = self.get_terrain_elevation()
+            return np.asarray(compute_aspect_degrees(elev, self.resolution))
+
+    def get_terrain_layer(self, lname: str):
+        return get_raster_in_projected_crs(
+            self.region.get_raster_fpath(self.terrain_layers[lname]),
+            self.bounds, self.gridsize, self.resolution,
+            self.projected_crs)
+
+    def get_terrain_grid(self):
+        """(xgrid, ygrid) (ssrs/simulator.py:177-185)."""
+        xgrid = np.linspace(self.bounds[0],
+                            self.bounds[0] + (self.gridsize[1] - 1)
+                            * self.resolution, self.gridsize[1])
+        ygrid = np.linspace(self.bounds[1],
+                            self.bounds[1] + (self.gridsize[0] - 1)
+                            * self.resolution, self.gridsize[0])
+        return xgrid, ygrid
+
+    # ---- updrafts --------------------------------------------------------
+
+    def compute_orographic_updraft_uniform(self) -> None:
+        """Uniform-mode orographic updraft (ssrs/simulator.py:189-198)."""
+        print('Computing orographic updrafts..')
+        slope = self.get_terrain_slope()
+        aspect = self.get_terrain_aspect()
+        orograph = compute_orographic_updraft(
+            float(self.uniform_windspeed) * np.ones(self.gridsize,
+                                                    np.float32),
+            float(self.uniform_winddirn) * np.ones(self.gridsize,
+                                                   np.float32),
+            slope.astype(np.float32), aspect.astype(np.float32))
+        fname = self._get_orograph_fname(self.case_ids[0],
+                                         self.mode_data_dir)
+        np.save(f'{fname}.npy', np.asarray(orograph, np.float32))
+
+    def compute_orographic_updrafts_using_wtk(self) -> None:
+        """Per-datetime WTK-interpolated updrafts
+        (ssrs/simulator.py:200-215)."""
+        print('Computing orographic updrafts..', end='')
+        slope = self.get_terrain_slope().astype(np.float32)
+        aspect = self.get_terrain_aspect().astype(np.float32)
+        start_time = time.time()
+        for dtime, case_id in zip(self.dtimes, self.case_ids):
+            wtk_df = self.wtk.get_dataframe_for_this_time(dtime)
+            wspeed, wdirn = self._get_interpolated_wind_conditions(
+                wtk_df[self.wtk_layers['wspeed']],
+                wtk_df[self.wtk_layers['wdirn']])
+            orograph = compute_orographic_updraft(
+                wspeed.astype(np.float32), wdirn.astype(np.float32),
+                slope, aspect)
+            fname = self._get_orograph_fname(case_id, self.mode_data_dir)
+            np.save(f'{fname}.npy', np.asarray(orograph, np.float32))
+        print(f'took {elapsed_str(start_time)}', flush=True)
+
+    def compute_thermal_updrafts(self, case_id: str) -> None:
+        """Thermal realizations (ssrs/simulator.py:217-228)."""
+        if self.thermals_realization_count > 0:
+            print('Computing thermal updrafts...', flush=True)
+            aspect = self.get_terrain_aspect().astype(np.float32)
+            for real_id in range(self.thermals_realization_count):
+                key = case_key(self.sim_seed, case_id, real_id, 'thermals')
+                thermals = compute_thermals(key, aspect, 2.0)
+                fname = self._get_thermal_fname(case_id, real_id,
+                                                self.mode_data_dir)
+                np.save(f'{fname}.npy', np.asarray(thermals, np.float32))
+        else:
+            print('No thermals requested!', flush=True)
+
+    def load_updrafts(self, case_id: str, apply_threshold: bool = True
+                      ) -> List[np.ndarray]:
+        """Orographic [+ thermal] updrafts, optionally thresholded
+        (ssrs/simulator.py:230-243)."""
+        fname = self._get_orograph_fname(case_id, self.mode_data_dir)
+        orograph = np.load(f'{fname}.npy')
+        updrafts = [orograph]
+        for real_id in range(int(self.thermals_realization_count)):
+            fname = self._get_thermal_fname(case_id, real_id,
+                                            self.mode_data_dir)
+            updrafts.append(orograph + np.load(f'{fname}.npy'))
+        if apply_threshold:
+            updrafts = [np.asarray(get_above_threshold_speed(
+                ix, self.updraft_threshold)) for ix in updrafts]
+        return updrafts
+
+    def _get_orograph_fname(self, case_id: str, dirname: str = './'):
+        return os.path.join(dirname, f'{case_id}_orograph')
+
+    def _get_thermal_fname(self, case_id: str, real_id: int,
+                           dirname: str = './'):
+        return os.path.join(dirname, f'{case_id}_r{real_id}_thermals')
+
+    # ---- directional potential ------------------------------------------
+
+    def get_directional_potential(self, updraft, case_id, real_id):
+        """Cached directional-potential solve
+        (ssrs/simulator.py:259-288)."""
+        fname = self._get_potential_fname(case_id, real_id,
+                                          self.mode_data_dir)
+        id_str = self._get_id_string(case_id, real_id)
+        try:
+            potential = np.load(f'{fname}.npy')
+            if potential.shape != tuple(self.gridsize):
+                raise FileNotFoundError
+            if (self.sim_seed < 0) and (real_id != 0):
+                raise FileNotFoundError
+            print(f'{id_str}: Found saved potential')
+        except FileNotFoundError:
+            start_time = time.time()
+            print(f'{id_str}: Computing potential..', end='', flush=True)
+            potential = self._solve_potential(np.asarray(updraft))
+            print(f'took {elapsed_str(start_time)}', flush=True)
+            np.save(f'{fname}.npy', potential.astype(np.float32))
+        if np.isnan(potential).any():
+            print('NANs found in potential!')
+        return potential
+
+    def _solve_potential(self, conductivity: np.ndarray) -> np.ndarray:
+        solver = (self.potential_solver or 'auto').lower()
+        if solver == 'auto':
+            try:
+                import scipy  # noqa: F401
+                solver = 'direct'
+            except ImportError:
+                solver = 'mg'
+        if solver in ('direct', 'dense'):
+            from .potential.direct import solve_potential_direct
+            return solve_potential_direct(conductivity,
+                                          self.track_direction)
+        from .potential import solve_potential_for_direction
+        maxiter = self.potential_maxiter if self.potential_maxiter > 0 \
+            else 200
+        pot, resid = solve_potential_for_direction(
+            conductivity, self.track_direction,
+            tol=self.potential_tol, maxiter=maxiter)
+        return np.asarray(pot)
+
+    def _get_id_string(self, case_id: str, real_id: Optional[int] = None):
+        """Artifact id (ssrs/simulator.py:290-298)."""
+        out = (f'{case_id}_d{int(self.track_direction % 360)}'
+               f'_t{int(self.updraft_threshold * 100)}'
+               f'_{self.movement_model}')
+        if real_id is not None:
+            out += f'_r{int(real_id)}'
+        return out
+
+    def _get_potential_fname(self, case_id, real_id, dirname):
+        return os.path.join(dirname,
+                            f'{self._get_id_string(case_id, real_id)}'
+                            '_potential')
+
+    # ---- track simulation -----------------------------------------------
+
+    def _track_params(self) -> TrackParams:
+        nrow, ncol = self.gridsize
+        cap = self.track_max_steps if self.track_max_steps > 0 else \
+            int(np.ceil(nrow / 2 * ncol / 2))
+        return TrackParams(
+            grid_shape=(nrow, ncol),
+            move_dirn=float(self.track_direction),
+            nu=float(self.track_stochastic_nu),
+            memory_k=int(self.track_dirn_restrict),
+            burnin=int(min(nrow, ncol) / 10),
+            nsteps=cap)
+
+    def simulate_tracks(self) -> None:
+        """Simulate all tracks for every case/realization
+        (ssrs/simulator.py:332-386)."""
+        print(f'Movement model = {self.movement_model}')
+        print(f'Updraft threshold = {self.updraft_threshold} m/s')
+        print(f'Movement direction = {self.track_direction} deg (cw)')
+        starting_rows, starting_cols = get_starting_indices(
+            int(self.track_count), list(self.track_start_region),
+            self.track_start_type, tuple(self.region_width_km),
+            float(self.resolution), rng=self._rng)
+        starts = np.stack([starting_rows, starting_cols],
+                          axis=1).astype(np.int32)
+        params = self._track_params()
+        record = (int(self.track_count) * params.nsteps
+                  <= self.track_pkl_budget)
+
+        for case_id in self.case_ids:
+            updrafts = self.load_updrafts(case_id, apply_threshold=True)
+            for real_id, updraft in enumerate(updrafts):
+                id_str = self._get_id_string(case_id, real_id)
+                key = case_key(self.sim_seed, case_id, real_id, 'tracks')
+                if self.movement_model == 'fluidflow':
+                    potential = self.get_directional_potential(
+                        updraft, case_id, real_id)
+                    sim_updraft, sim_potential = updraft, potential
+                elif self.movement_model == 'drw':
+                    sim_updraft, sim_potential = None, None
+                else:
+                    raise ValueError(
+                        f'movement_model {self.movement_model!r} not '
+                        "implemented; options: 'fluidflow', 'drw'")
+                print(f'{id_str}: Simulating {self.track_count} tracks..',
+                      end='', flush=True)
+                start_time = time.time()
+                result = simulate_presence(
+                    params, starts, key, updraft=sim_updraft,
+                    potential=sim_potential, record_tracks=record)
+                if record:
+                    presence, steps, tracks, lengths = result
+                    track_list = _trim_tracks(np.asarray(tracks),
+                                              np.asarray(lengths))
+                    fname = self._get_tracks_fname(case_id, real_id,
+                                                   self.mode_data_dir)
+                    with open(f'{fname}.pkl', 'wb') as fobj:
+                        pickle.dump(track_list, fobj)
+                else:
+                    presence, steps = result
+                print(f'took {elapsed_str(start_time)}', flush=True)
+                fname = self._get_counts_fname(case_id, real_id,
+                                               self.mode_data_dir)
+                np.save(f'{fname}.npy',
+                        np.asarray(presence, dtype=np.int32))
+
+    def _get_tracks_fname(self, case_id, real_id, dirname):
+        return os.path.join(dirname,
+                            f'{self._get_id_string(case_id, real_id)}'
+                            '_tracks')
+
+    def _get_counts_fname(self, case_id, real_id, dirname):
+        return os.path.join(dirname,
+                            f'{self._get_id_string(case_id, real_id)}'
+                            '_counts')
+
+    def _get_presence_fname(self, case_id, real_id, dirname):
+        return os.path.join(dirname,
+                            f'{self._get_id_string(case_id, real_id)}'
+                            '_presence')
+
+    def get_presence_counts(self, case_id: str, real_id: int) -> np.ndarray:
+        """Presence counts for one realization: the device-side artifact
+        when present, else recounted from the tracks pkl."""
+        fname = self._get_counts_fname(case_id, real_id,
+                                       self.mode_data_dir)
+        try:
+            return np.load(f'{fname}.npy')
+        except FileNotFoundError:
+            from .agents import compute_presence_counts
+            tname = self._get_tracks_fname(case_id, real_id,
+                                           self.mode_data_dir)
+            with open(f'{tname}.pkl', 'rb') as fobj:
+                tracks = pickle.load(fobj)
+            return compute_presence_counts(tracks, self.gridsize)
+
+    # ---- presence maps ---------------------------------------------------
+
+    def compute_presence_map(self, radius: float = 1000.) -> np.ndarray:
+        """Summary presence probability over all cases/realizations
+        (the computation inside ``plot_presence_map``,
+        ssrs/simulator.py:508-546), saved as summary_presence.npy."""
+        krad = min(max(radius / self.resolution, 2),
+                   min(self.gridsize) / 2)
+        summary_prob = np.zeros(self.gridsize, np.float64)
+        for case_id in self.case_ids:
+            updrafts = self.load_updrafts(case_id, apply_threshold=True)
+            case_prob = np.zeros(self.gridsize, np.float64)
+            for real_id, _ in enumerate(updrafts):
+                counts = self.get_presence_counts(case_id, real_id)
+                prprob = np.asarray(
+                    smooth_presence(counts.astype(np.int32),
+                                    int(round(krad))))
+                prprob = prprob / np.amax(prprob)
+                case_prob += prprob
+            case_prob /= np.amax(case_prob)
+            summary_prob += case_prob
+        summary_prob /= np.amax(summary_prob)
+        fname = os.path.join(self.mode_data_dir, 'summary_presence')
+        np.save(f'{fname}.npy', summary_prob.astype(np.float32))
+        return summary_prob
+
+    # ---- WTK wind interpolation -----------------------------------------
+
+    def get_wtk_locs(self):
+        wtk_lons, wtk_lats = self.wtk.get_coordinates()
+        return transform_coordinates(self.lonlat_crs, self.projected_crs,
+                                     wtk_lons, wtk_lats)
+
+    def _interpolate_wtk_vardata(self, vdata: np.ndarray) -> np.ndarray:
+        """Unstructured -> grid interpolation
+        (ssrs/simulator.py:765-776)."""
+        from scipy.interpolate import griddata
+        xgrid, ygrid = self.get_terrain_grid()
+        wtk_xlocs, wtk_ylocs = self.get_wtk_locs()
+        points = np.array([np.asarray(wtk_xlocs),
+                           np.asarray(wtk_ylocs)]).T
+        xmesh, ymesh = np.meshgrid(xgrid, ygrid)
+        interp = griddata(points, np.asarray(vdata), (xmesh, ymesh),
+                          method=self.wtk_interp_type)
+        if np.isnan(interp).any():
+            nearest = griddata(points, np.asarray(vdata), (xmesh, ymesh),
+                               method='nearest')
+            interp = np.where(np.isnan(interp), nearest, interp)
+        return interp
+
+    def _get_interpolated_wind_conditions(
+            self, wspeed, wdirn) -> Tuple[np.ndarray, np.ndarray]:
+        """Vector-decompose, interpolate, recompose
+        (ssrs/simulator.py:778-792)."""
+        wspeed = np.asarray(wspeed, float)
+        wdirn = np.asarray(wdirn, float)
+        easterly = wspeed * np.sin(np.radians(wdirn))
+        northerly = wspeed * np.cos(np.radians(wdirn))
+        interp_e = self._interpolate_wtk_vardata(easterly)
+        interp_n = self._interpolate_wtk_vardata(northerly)
+        interp_speed = np.hypot(interp_e, interp_n)
+        interp_dirn = np.mod(np.arctan2(interp_e, interp_n) + 2 * np.pi,
+                             2 * np.pi)
+        return interp_speed, np.degrees(interp_dirn)
+
+    # ---- seasonal sampling ----------------------------------------------
+
+    def get_seasonal_datetimes(self) -> List[datetime]:
+        """Seeded seasonal datetime sampler (ssrs/simulator.py:718-752;
+        the reference uses the *unseeded* stdlib random module — here the
+        run RNG drives it, fixing the reproducibility gap noted in
+        SURVEY.md SS4)."""
+        print(f'Seasonal: Requested {self.seasonal_count} counts')
+        print(f'Seasonal: Starting Month,Day is {self.seasonal_start}')
+        print(f'Seasonal: Ending Month,Day is {self.seasonal_end}')
+        print(f'Seasonal: Time of day is {self.seasonal_timeofday}')
+        return get_seasonal_datetimes_list(
+            self.wtk.years, self.seasonal_start, self.seasonal_end,
+            self.seasonal_timeofday, self.seasonal_count,
+            tuple(self.lonlat_bounds[0:2]), self._rng)
+
+    # ---- misc ------------------------------------------------------------
+
+    def _get_uniform_id(self):
+        return (f's{int(self.uniform_windspeed)}'
+                f'd{int(self.uniform_winddirn)}')
+
+
+def _trim_tracks(tracks: np.ndarray, lengths: np.ndarray
+                 ) -> List[np.ndarray]:
+    """(nsteps+1, N, 2) + lengths -> reference-format list of (len, 2)
+    int16 arrays (ssrs/movmodel.py:318)."""
+    return [np.ascontiguousarray(tracks[:lengths[i], i])
+            for i in range(tracks.shape[1])]
+
+
+def _jsonable(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except TypeError:
+        return False

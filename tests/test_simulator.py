@@ -1,0 +1,148 @@
+"""End-to-end Simulator tests, fully offline: synthetic terrain source,
+uniform mode, artifact naming parity, presence pipeline, plots."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from ssrs_tpu import Config, Simulator
+
+
+@pytest.fixture(scope='module')
+def sim(tmp_path_factory):
+    out = tmp_path_factory.mktemp('runs')
+    cfg = Config(
+        run_name='wy_test',
+        out_dir=str(out),
+        sim_mode='uniform',
+        sim_seed=11,
+        southwest_lonlat=(-106.21, 42.78),
+        region_width_km=(12., 10.),
+        resolution=200.,
+        uniform_winddirn=270.,
+        uniform_windspeed=10.,
+        track_direction=0.,
+        track_count=400,
+        track_start_region=(1., 11., 1., 2.),
+        track_start_type='random',
+        track_max_steps=400,
+        movement_model='fluidflow',
+    )
+    return Simulator(cfg)
+
+
+def test_ctor_artifacts(sim):
+    # grid from region/resolution (ssrs/simulator.py:69-74)
+    assert sim.gridsize == (50, 60)
+    run_dir = os.path.join(sim.out_dir, 'wy_test')
+    assert os.path.isfile(os.path.join(run_dir, 'wy_test.json'))
+    assert os.path.isdir(sim.mode_data_dir)
+    assert os.path.isdir(sim.mode_fig_dir)
+    # uniform case id s<speed>d<dirn> (ssrs/simulator.py:760-763)
+    assert sim.case_ids == ['s10d270']
+    # orograph artifact naming (ssrs/simulator.py:196-198)
+    assert os.path.isfile(os.path.join(sim.mode_data_dir,
+                                       's10d270_orograph.npy'))
+
+
+def test_terrain_layers(sim):
+    elev = sim.get_terrain_elevation()
+    assert elev.shape == sim.gridsize
+    slope = sim.get_terrain_slope()
+    aspect = sim.get_terrain_aspect()
+    assert slope.shape == sim.gridsize and aspect.shape == sim.gridsize
+    assert 0 <= slope.max() <= 90
+    x, y = sim.get_terrain_grid()
+    assert len(x) == 60 and len(y) == 50
+    assert np.isclose(x[1] - x[0], 200.)
+
+
+def test_updraft_artifact_valid(sim):
+    updrafts = sim.load_updrafts('s10d270', apply_threshold=False)
+    assert len(updrafts) == 1
+    assert updrafts[0].shape == sim.gridsize
+    assert updrafts[0].min() >= 0
+    thresholded = sim.load_updrafts('s10d270', apply_threshold=True)[0]
+    assert (thresholded[updrafts[0] <= 1e-2] == 0).all()
+
+
+def test_simulate_tracks_and_artifacts(sim):
+    sim.simulate_tracks()
+    id_str = 's10d270_d0_t75_fluidflow_r0'
+    pkl = os.path.join(sim.mode_data_dir, f'{id_str}_tracks.pkl')
+    counts = os.path.join(sim.mode_data_dir, f'{id_str}_counts.npy')
+    pot = os.path.join(sim.mode_data_dir, f'{id_str}_potential.npy')
+    assert os.path.isfile(pkl) and os.path.isfile(counts) \
+        and os.path.isfile(pot)
+    with open(pkl, 'rb') as fobj:
+        tracks = pickle.load(fobj)
+    assert len(tracks) == 400
+    assert all(t.dtype == np.int16 and t.ndim == 2 and t.shape[1] == 2
+               for t in tracks)
+    # presence counts equal total trajectory points
+    count_map = np.load(counts)
+    assert count_map.sum() == sum(len(t) for t in tracks)
+    # potential obeys boundary conditions for direction 0
+    potential = np.load(pot)
+    assert (potential[0, :] == 1000.).all()
+    assert (potential[-1, :] == 0.).all()
+
+
+def test_presence_map(sim):
+    summary = sim.compute_presence_map(radius=1000.)
+    assert summary.shape == sim.gridsize
+    assert np.isclose(summary.max(), 1.0)
+    assert os.path.isfile(os.path.join(sim.mode_data_dir,
+                                       'summary_presence.npy'))
+
+
+def test_plots_render(sim):
+    sim.plot_terrain_features(plot_turbs=False)
+    sim.plot_updrafts(plot_turbs=False)
+    sim.plot_updraft_threshold_function()
+    sim.plot_directional_potentials(plot_turbs=False)
+    sim.plot_simulated_tracks(plot_turbs=False)
+    sim.plot_presence_map(plot_turbs=False)
+    for f in ('elevation.png', 'slope.png', 'aspect.png',
+              'threshold_function.png'):
+        assert os.path.isfile(os.path.join(sim.fig_dir, f))
+    assert os.path.isfile(os.path.join(
+        sim.mode_fig_dir, 's10d270_d0_t75_fluidflow_r0_updraft.png'))
+    assert os.path.isfile(os.path.join(
+        sim.mode_fig_dir, 's10d270_d0_t75_fluidflow_tracks... png'
+        .replace('tracks... png', 'r0_tracks.png')
+        .replace('fluidflow_r0', 'fluidflow_r0')))
+
+
+def test_caching_reuses_artifacts(sim, capsys):
+    """Re-running the potential solve must hit the .npy cache
+    (ssrs/simulator.py:266-272)."""
+    updraft = sim.load_updrafts('s10d270', apply_threshold=True)[0]
+    capsys.readouterr()
+    sim.get_directional_potential(updraft, 's10d270', 0)
+    out = capsys.readouterr().out
+    assert 'Found saved potential' in out
+
+
+def test_drw_mode(tmp_path):
+    cfg = Config(
+        run_name='drw_test', out_dir=str(tmp_path), sim_mode='uniform',
+        sim_seed=3, southwest_lonlat=(-106.21, 42.78),
+        region_width_km=(8., 6.), resolution=200., track_count=100,
+        track_start_region=(1., 7., 1., 2.), track_max_steps=200,
+        movement_model='drw')
+    s = Simulator(cfg)
+    s.simulate_tracks()
+    id_str = 's10d270_d0_t75_drw_r0'
+    assert os.path.isfile(os.path.join(
+        s.mode_data_dir, f'{id_str}_counts.npy'))
+
+
+def test_config_json_roundtrip(sim):
+    fpath = os.path.join(sim.out_dir, 'wy_test', 'wy_test.json')
+    cfg = Config.from_json(fpath)
+    assert cfg.run_name == 'wy_test'
+    assert cfg.resolution == 200.
+    assert tuple(cfg.region_width_km) == (12., 10.)
