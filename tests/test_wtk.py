@@ -1,0 +1,137 @@
+"""WTK client + snapshot/seasonal simulator tests against a local h5py
+fixture file shaped like the WindToolkit HDF5 archives (coordinates,
+per-variable (time, site) datasets with scale_factor attrs)."""
+
+import os
+from datetime import datetime
+
+import h5py
+import numpy as np
+import pytest
+
+from ssrs_tpu.data import WTK
+
+YEAR = 2012
+LAYERS = ['windspeed_100m', 'winddirection_100m', 'pressure_100m',
+          'temperature_100m', 'boundary_layer_height',
+          'surface_heat_flux']
+
+
+@pytest.fixture(scope='module')
+def wtk_h5(tmp_path_factory):
+    """Fixture WTK archive: a lon/lat point cloud covering WY with hourly
+    values for 2012."""
+    d = tmp_path_factory.mktemp('wtk')
+    fpath = str(d / f'wtk_fixture_{YEAR}.h5')
+    rng = np.random.default_rng(7)
+    lats = np.linspace(42.0, 43.8, 40)
+    lons = np.linspace(-107.0, -105.0, 25)
+    lat_g, lon_g = np.meshgrid(lats, lons, indexing='ij')
+    coords = np.stack([lat_g.ravel(), lon_g.ravel()], axis=1)
+    nsites = coords.shape[0]
+    ntimes = 24 * 366
+    with h5py.File(fpath, 'w') as f:
+        f.create_dataset('coordinates', data=coords)
+        for name in LAYERS:
+            scale = 10.0
+            base = rng.uniform(2, 15) if 'speed' in name else \
+                rng.uniform(0, 360) if 'direction' in name else \
+                rng.uniform(80000, 90000) if 'pressure' in name else \
+                rng.uniform(0, 25)
+            vals = (base + rng.standard_normal((ntimes, nsites))
+                    ).astype(np.float64)
+            ds = f.create_dataset(name, data=(vals * scale).astype('i4'))
+            ds.attrs['scale_factor'] = scale
+    return fpath
+
+
+def _make_wtk(wtk_h5, out_dir):
+    template = wtk_h5.replace(str(YEAR), '$YEAR')
+    return WTK('LOCAL', (-106.6, 42.4, -105.4, 43.4), LAYERS,
+               str(out_dir), local_template=template,
+               local_years=[YEAR])
+
+
+def test_wtk_locations(wtk_h5, tmp_path):
+    wtk = _make_wtk(wtk_h5, tmp_path)
+    df = wtk.get_locations()
+    assert df.shape[0] > 0
+    assert (df['Longitude'] > -106.7).all() and \
+        (df['Longitude'] < -105.3).all()
+    assert (df['Latitude'] > 42.3).all() and (df['Latitude'] < 43.5).all()
+    assert os.path.isfile(os.path.join(str(tmp_path),
+                                       'wtk_locations.csv'))
+
+
+def test_wtk_download_and_cache(wtk_h5, tmp_path):
+    wtk = _make_wtk(wtk_h5, tmp_path)
+    dt = datetime(YEAR, 6, 17, 13)
+    df = wtk.download_data_for_this_time(dt)
+    for name in LAYERS:
+        assert name in df.columns
+    # scale factor applied: wind speeds in a plausible range
+    assert df['windspeed_100m'].between(-10, 40).all()
+    fname = os.path.join(str(tmp_path), wtk.get_filename(dt))
+    assert os.path.isfile(fname)
+    # cached read returns identical data
+    df2 = wtk.get_dataframe_for_this_time(dt)
+    assert np.allclose(df2['windspeed_100m'], df['windspeed_100m'])
+
+
+def test_wtk_time_index(wtk_h5, tmp_path):
+    """time_index = hours since Jan 1 (ssrs/wtk/wtk.py:128-129)."""
+    wtk = _make_wtk(wtk_h5, tmp_path)
+    with pytest.raises(ValueError):
+        wtk.download_data_for_this_time(datetime(1999, 1, 1, 0))
+    df_a = wtk.download_data_for_this_time(datetime(YEAR, 1, 1, 0))
+    df_b = wtk.download_data_for_this_time(datetime(YEAR, 1, 1, 1))
+    assert not np.allclose(df_a['windspeed_100m'], df_b['windspeed_100m'])
+
+
+def test_wtk_parallel_download(wtk_h5, tmp_path):
+    wtk = _make_wtk(wtk_h5, tmp_path)
+    times = [datetime(YEAR, 5, 1, h) for h in (9, 12, 15, 18)]
+    wtk.download_data(times, max_cores=4)
+    for t in times:
+        assert os.path.isfile(os.path.join(str(tmp_path),
+                                           wtk.get_filename(t)))
+
+
+def test_snapshot_mode_end_to_end(wtk_h5, tmp_path, monkeypatch):
+    """Snapshot-mode Simulator with the LOCAL WTK source."""
+    from ssrs_tpu import Config
+    from ssrs_tpu.simulator import Simulator
+    import ssrs_tpu.simulator as sim_mod
+
+    template = wtk_h5.replace(str(YEAR), '$YEAR')
+
+    # route the simulator's WTK construction to the LOCAL fixture
+    from ssrs_tpu.data import WTK as RealWTK
+
+    class LocalWTK(RealWTK):
+        def __init__(self, source_name, lonlat_bounds, varnames, out_dir,
+                     **kw):
+            super().__init__('LOCAL', lonlat_bounds, varnames, out_dir,
+                             local_template=template,
+                             local_years=[YEAR])
+
+    import ssrs_tpu.data as data_mod
+    monkeypatch.setattr(data_mod, 'WTK', LocalWTK)
+
+    cfg = Config(
+        run_name='snap_test', out_dir=str(tmp_path), sim_mode='snapshot',
+        sim_seed=4, snapshot_datetime=(YEAR, 6, 17, 13),
+        southwest_lonlat=(-106.21, 42.78), region_width_km=(10., 8.),
+        resolution=200., track_count=150,
+        track_start_region=(1., 9., 1., 2.), track_max_steps=200,
+        movement_model='fluidflow')
+    sim = Simulator(cfg)
+    case = datetime(YEAR, 6, 17, 13).strftime('y%Ym%md%dh%H')
+    assert sim.case_ids == [case]
+    assert os.path.isfile(os.path.join(sim.mode_data_dir,
+                                       f'{case}_orograph.npy'))
+    sim.simulate_tracks()
+    counts = os.path.join(sim.mode_data_dir,
+                          f'{case}_d0_t75_fluidflow_r0_counts.npy')
+    assert os.path.isfile(counts)
+    assert np.load(counts).sum() >= 150
