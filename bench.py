@@ -34,7 +34,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from ssrs_tpu.agents import TrackParams, get_starting_indices, \
-        simulate_presence
+        simulate_presence_compacting
     from ssrs_tpu.fields import (get_above_threshold_speed,
                                  orographic_updraft_from_dem)
     from ssrs_tpu.potential import solve_potential_for_direction
@@ -86,7 +86,7 @@ def main():
                          nsteps=step_cap)
 
     def run(key):
-        presence, steps = simulate_presence(
+        presence, steps = simulate_presence_compacting(
             params, starts, key, updraft=conductivity, potential=pot,
             chunk=256)
         return presence, steps

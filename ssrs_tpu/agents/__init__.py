@@ -7,7 +7,8 @@ from .presence import (compute_presence_counts,
                        compute_smooth_presence_counts, circular_kernel,
                        smooth_presence, smooth_presence_from_counts)
 from .simulate import (SimState, TrackParams, harmonic_mean_weights,
-                       init_state, make_step_fn, simulate_presence)
+                       init_state, make_step_fn, simulate_presence,
+                       simulate_presence_compacting)
 from .starts import get_starting_indices
 
 __all__ = [
@@ -16,5 +17,6 @@ __all__ = [
     'compute_presence_counts', 'compute_smooth_presence_counts',
     'circular_kernel', 'smooth_presence', 'smooth_presence_from_counts',
     'SimState', 'TrackParams', 'harmonic_mean_weights', 'init_state',
-    'make_step_fn', 'simulate_presence', 'get_starting_indices',
+    'make_step_fn', 'simulate_presence', 'simulate_presence_compacting',
+    'get_starting_indices',
 ]

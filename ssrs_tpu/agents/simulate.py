@@ -44,6 +44,11 @@ class TrackParams(NamedTuple):
     memory_k: int                      # direction-memory length (>= 0)
     burnin: int                        # boundary-push steps
     nsteps: int                        # step cap (static)
+    # storage dtype of the per-cell move-weight table. bfloat16 halves the
+    # dominant per-step cost (the random 9-float gather) for ~0.4%
+    # relative weight quantization, which the presence statistics absorb
+    # (verified in tests); use 'float32' for maximum fidelity.
+    weight_dtype: str = 'bfloat16'
 
 
 def harmonic_mean_weights(updraft: jax.Array,
@@ -122,7 +127,8 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
         if base_flat is not None:
             idx = pr * ncol + pc
             base = jnp.take(base_flat, idx, axis=0,
-                            indices_are_sorted=False, unique_indices=False)
+                            indices_are_sorted=False,
+                            unique_indices=False).astype(jnp.float32)
         else:
             base = jnp.broadcast_to(dirp[None, :], (r.shape[0], 9))
 
@@ -214,7 +220,7 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
     table = jnp.asarray(restriction_table())
     if updraft is not None:
         base = harmonic_mean_weights(updraft, potential)
-        base_flat = base.reshape(-1, 9)
+        base_flat = base.reshape(-1, 9).astype(params.weight_dtype)
     else:
         base_flat = None
     step_fn = make_step_fn(params, base_flat, dirp, table)
@@ -249,3 +255,71 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
     state, _ = jax.lax.while_loop(
         while_cond, while_body, (state, jnp.asarray(0, jnp.int32)))
     return state.presence, state.step
+
+
+@functools.partial(jax.jit, static_argnames=('params', 'chunk'))
+def _run_chunk(params: TrackParams, base_flat, dirp, table,
+               pos, mem, alive, key, presence, step0, chunk: int):
+    """One jitted chunk of the compacting driver; compiled once per
+    (params, agent-bucket-size)."""
+    step_fn = make_step_fn(params, base_flat, dirp, table)
+    state = SimState(pos=pos, mem=mem, alive=alive, key=key,
+                     presence=presence, step=step0)
+    state, _ = jax.lax.scan(lambda s, _: (step_fn(s), None), state, None,
+                            length=chunk)
+    return (state.pos, state.mem, state.alive, state.key, state.presence,
+            state.step, jnp.sum(state.alive))
+
+
+@functools.partial(jax.jit, static_argnames=('m',))
+def _compact(pos, mem, alive, m: int):
+    """Pack alive agents to the front (stable) and truncate to bucket m."""
+    order = jnp.argsort(~alive, stable=True)
+    return pos[order[:m]], mem[order[:m]], alive[order[:m]]
+
+
+def simulate_presence_compacting(params: TrackParams, start_rc,
+                                 key: jax.Array,
+                                 updraft=None, potential=None,
+                                 chunk: int = 256,
+                                 min_bucket: int = 8192,
+                                 valid=None):
+    """Presence simulation with dead-agent compaction.
+
+    The plain lockstep scan keeps simulating dead agents: with boundary
+    absorption the average track dies long before the step cap, so up to
+    ~80% of agent-slots are wasted. This host-orchestrated variant runs
+    jitted chunks and, whenever the live population falls below half the
+    current bucket, packs survivors into the next power-of-two bucket
+    (at most log2(N) recompiles, each cached). Statistically equivalent
+    to ``simulate_presence`` (different RNG partitioning), and
+    deterministic for fixed inputs.
+
+    Returns (presence int32 (nrow, ncol), steps int32).
+    """
+    dirp = jnp.asarray(directional_probs(params.move_dirn))
+    table = jnp.asarray(restriction_table())
+    if updraft is not None:
+        base_flat = harmonic_mean_weights(updraft, potential).reshape(
+            -1, 9).astype(params.weight_dtype)
+    else:
+        base_flat = None
+
+    state = init_state(params, start_rc, key, valid=valid)
+    pos, mem, alive, key_c, presence = (state.pos, state.mem, state.alive,
+                                        state.key, state.presence)
+    step0 = state.step
+    n_alive = int(jnp.sum(alive))
+    # the step cap inside the step function handles the final partial
+    # chunk (agents past nsteps stop), so one fixed chunk size suffices
+    while int(step0) < params.nsteps and n_alive > 0:
+        pos, mem, alive, key_c, presence, step0, n_alive_dev = _run_chunk(
+            params, base_flat, dirp, table, pos, mem, alive, key_c,
+            presence, step0, chunk)
+        n_alive = int(n_alive_dev)
+        cur = pos.shape[0]
+        if n_alive > 0 and cur > min_bucket and n_alive < cur // 2:
+            m = max(1 << (n_alive - 1).bit_length(), min_bucket)
+            if m < cur:
+                pos, mem, alive = _compact(pos, mem, alive, m)
+    return presence, step0

@@ -1,0 +1,95 @@
+"""Tests for the compacting simulation driver and the bf16 weight table."""
+
+import jax
+import numpy as np
+
+from ssrs_tpu.agents import (TrackParams, simulate_presence,
+                             simulate_presence_compacting)
+from ssrs_tpu.agents.presence import smooth_presence
+
+GRID = (48, 56)
+
+
+def _params(nsteps=300, dtype='bfloat16'):
+    return TrackParams(grid_shape=GRID, move_dirn=0., nu=1., memory_k=1,
+                       burnin=int(min(GRID) / 10), nsteps=nsteps,
+                       weight_dtype=dtype)
+
+
+def _fields():
+    nrow, ncol = GRID
+    y = np.linspace(0, np.pi, nrow)[:, None]
+    x = np.linspace(0, 2 * np.pi, ncol)[None, :]
+    updraft = (1.0 + 0.8 * np.sin(x) * np.sin(y)).astype(np.float32)
+    potential = (np.linspace(1000., 0., nrow)[:, None]
+                 * np.ones((1, ncol))).astype(np.float32)
+    return updraft, potential
+
+
+def _starts(n, rng):
+    return np.stack([rng.integers(3, 6, n), rng.integers(20, 36, n)],
+                    axis=1).astype(np.int32)
+
+
+def test_compacting_matches_plain_statistically(rng):
+    n = 4000
+    starts = _starts(n, rng)
+    updraft, potential = _fields()
+    params = _params()
+    p_plain, s_plain = simulate_presence(
+        params, starts, jax.random.key(5), updraft=updraft,
+        potential=potential)
+    p_comp, s_comp = simulate_presence_compacting(
+        params, starts, jax.random.key(5), updraft=updraft,
+        potential=potential, chunk=64, min_bucket=256)
+    a = np.asarray(smooth_presence(np.asarray(p_plain), 3), np.float64)
+    b = np.asarray(smooth_presence(np.asarray(p_comp), 3), np.float64)
+    a /= a.sum()
+    b /= b.sum()
+    assert np.abs(a - b).sum() < 0.08
+    # every agent contributes at least burn-in + 1 presence points
+    burnin = _params().burnin
+    assert np.asarray(p_comp).sum() >= n * (burnin + 1)
+
+
+def test_compacting_deterministic(rng):
+    starts = _starts(512, rng)
+    updraft, potential = _fields()
+    params = _params()
+    p1, _ = simulate_presence_compacting(
+        params, starts, jax.random.key(9), updraft=updraft,
+        potential=potential, chunk=64, min_bucket=128)
+    p2, _ = simulate_presence_compacting(
+        params, starts, jax.random.key(9), updraft=updraft,
+        potential=potential, chunk=64, min_bucket=128)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_compacting_drw(rng):
+    starts = _starts(300, rng)
+    params = _params()
+    presence, steps = simulate_presence_compacting(
+        params, starts, jax.random.key(2), chunk=64, min_bucket=64)
+    presence = np.asarray(presence)
+    assert presence.sum() >= 300
+    # northward drift
+    assert presence[GRID[0] // 2:, :].sum() > 0
+
+
+def test_bf16_vs_f32_statistics(rng):
+    """bf16 weight quantization must not shift the presence distribution
+    beyond statistical noise."""
+    n = 4000
+    starts = _starts(n, rng)
+    updraft, potential = _fields()
+    p_bf16, _ = simulate_presence(
+        _params(dtype='bfloat16'), starts, jax.random.key(3),
+        updraft=updraft, potential=potential)
+    p_f32, _ = simulate_presence(
+        _params(dtype='float32'), starts, jax.random.key(3),
+        updraft=updraft, potential=potential)
+    a = np.asarray(smooth_presence(np.asarray(p_bf16), 3), np.float64)
+    b = np.asarray(smooth_presence(np.asarray(p_f32), 3), np.float64)
+    a /= a.sum()
+    b /= b.sum()
+    assert np.abs(a - b).sum() < 0.08
