@@ -68,6 +68,23 @@ def compute_aspect_degrees(z_mat: jax.Array, res: float) -> jax.Array:
     return jnp.nan_to_num(out)
 
 
+def compute_slope_richdem_degrees(z_mat: jax.Array, res: float) -> jax.Array:
+    """richdem-equivalent slope (ssrs/layers.py:131-148). richdem's
+    'slope_degrees' attribute is the same Horn 1981 stencil this module
+    implements, so this is an alias kept for API parity (richdem's C++
+    core is not available here)."""
+    return compute_slope_degrees(z_mat, res)
+
+
+def compute_aspect_richdem_degrees(z_mat: jax.Array, res: float) -> jax.Array:
+    """richdem-equivalent aspect (ssrs/layers.py:151-168); see
+    ``compute_slope_richdem_degrees``. Note richdem's aspect convention
+    (compass bearing of downslope) differs from the reference's own
+    ``compute_aspect_degrees`` formula; the Simulator only consumes the
+    latter, which is what this returns."""
+    return compute_aspect_degrees(z_mat, res)
+
+
 @partial(jax.jit, static_argnames=())
 def compute_slope_aspect_degrees(z_mat: jax.Array, res: float):
     """Fused slope+aspect in a single pass over the DEM (both consume the

@@ -407,11 +407,10 @@ class Simulator(PlottingMixin, Config):
                 print(f'{id_str}: Simulating {self.track_count} tracks..',
                       end='', flush=True)
                 start_time = time.time()
-                result = simulate_presence(
-                    params, starts, key, updraft=sim_updraft,
-                    potential=sim_potential, record_tracks=record)
                 if record:
-                    presence, steps, tracks, lengths = result
+                    presence, steps, tracks, lengths = simulate_presence(
+                        params, starts, key, updraft=sim_updraft,
+                        potential=sim_potential, record_tracks=True)
                     track_list = _trim_tracks(np.asarray(tracks),
                                               np.asarray(lengths))
                     fname = self._get_tracks_fname(case_id, real_id,
@@ -419,12 +418,29 @@ class Simulator(PlottingMixin, Config):
                     with open(f'{fname}.pkl', 'wb') as fobj:
                         pickle.dump(track_list, fobj)
                 else:
-                    presence, steps = result
+                    presence, steps = self._run_large(
+                        params, starts, key, sim_updraft, sim_potential)
                 print(f'took {elapsed_str(start_time)}', flush=True)
                 fname = self._get_counts_fname(case_id, real_id,
                                                self.mode_data_dir)
                 np.save(f'{fname}.npy',
                         np.asarray(presence, dtype=np.int32))
+
+    def _run_large(self, params, starts, key, updraft, potential):
+        """Large-run driver: agent sharding over the device mesh when more
+        than one device is available (Config.mesh_devices; 0 = all local
+        devices), dead-agent compaction otherwise."""
+        n_dev = (self.mesh_devices if self.mesh_devices > 0
+                 else len(jax.devices()))
+        if n_dev > 1:
+            from .parallel import make_mesh, simulate_presence_sharded
+            mesh = make_mesh(self.mesh_devices)
+            return simulate_presence_sharded(
+                params, starts, key, updraft=updraft,
+                potential=potential, mesh=mesh)
+        from .agents import simulate_presence_compacting
+        return simulate_presence_compacting(
+            params, starts, key, updraft=updraft, potential=potential)
 
     def _get_tracks_fname(self, case_id, real_id, dirname):
         return os.path.join(dirname,

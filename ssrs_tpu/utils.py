@@ -190,3 +190,26 @@ def remove_all_dirs_in_this_dir(dname: str) -> None:
 def empty_this_directory(dirname: str) -> None:
     for fname in os.listdir(dirname):
         os.remove(os.path.join(dirname, fname))
+
+
+def pretty_str(label, arr) -> str:
+    """Pretty-print an array assignment (ssrs/utils.py:126-167)."""
+    def is_col(a):
+        try:
+            return a.shape[0] > 1 and a.shape[1] == 1
+        except (AttributeError, IndexError):
+            return False
+
+    label = '' if label is None else label
+    if label:
+        label += ' = '
+    if is_col(arr):
+        return label + str(arr.T).replace('\n', '') + '.T'
+    rows = str(arr).split('\n')
+    if not rows:
+        return ''
+    out = label + rows[0]
+    pad = ' ' * len(label)
+    for line in rows[1:]:
+        out += '\n' + pad + line
+    return out
