@@ -278,11 +278,94 @@ def _compact(pos, mem, alive, m: int):
     return pos[order[:m]], mem[order[:m]], alive[order[:m]]
 
 
+@functools.partial(jax.jit, static_argnames=('m',))
+def _compact_ids(pos, mem, alive, ids, m: int):
+    order = jnp.argsort(~alive, stable=True)
+    return (pos[order[:m]], mem[order[:m]], alive[order[:m]],
+            ids[order[:m]])
+
+
+@functools.partial(jax.jit, static_argnames=('params', 'chunk'))
+def _run_chunk_recording(params: TrackParams, base_flat, dirp, table,
+                         pos, mem, alive, key, presence, step0,
+                         chunk: int):
+    """Chunk runner that also emits per-step (positions, alive) for track
+    reconstruction."""
+    step_fn = make_step_fn(params, base_flat, dirp, table)
+    state = SimState(pos=pos, mem=mem, alive=alive, key=key,
+                     presence=presence, step=step0)
+
+    def body(s, _):
+        new = step_fn(s)
+        return new, (new.pos.astype(jnp.int16), new.alive)
+
+    state, ys = jax.lax.scan(body, state, None, length=chunk)
+    return (state.pos, state.mem, state.alive, state.key, state.presence,
+            state.step, jnp.sum(state.alive), ys)
+
+
+def simulate_tracks_recorded(params: TrackParams, start_rc,
+                             key: jax.Array,
+                             updraft=None, potential=None,
+                             chunk: int = 256,
+                             min_bucket: int = 1024):
+    """Full-trajectory simulation with early exit and compaction.
+
+    Returns (presence int32 (nrow, ncol), list of int16 (len, 2)
+    trajectories in reference format, ssrs/movmodel.py:318). Each agent's
+    trajectory is reconstructed host-side from per-chunk emissions, so the
+    step cap can be the reference's enormous ``(nrow/2)*(ncol/2)`` without
+    materializing a dense (cap, N, 2) array.
+    """
+    start_rc = np.asarray(start_rc, np.int32)
+    n = start_rc.shape[0]
+    dirp = jnp.asarray(directional_probs(params.move_dirn))
+    table = jnp.asarray(restriction_table())
+    if updraft is not None:
+        base_flat = harmonic_mean_weights(updraft, potential).reshape(
+            -1, 9).astype(params.weight_dtype)
+    else:
+        base_flat = None
+
+    state = init_state(params, start_rc, key)
+    pos, mem, alive, key_c, presence = (state.pos, state.mem, state.alive,
+                                        state.key, state.presence)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    step0 = state.step
+
+    # host-side per-agent position lists, seeded with the starts
+    traj = [[start_rc[i:i + 1]] for i in range(n)]
+    n_alive = n
+    while int(step0) < params.nsteps and n_alive > 0:
+        (pos, mem, alive, key_c, presence, step0, n_alive_dev,
+         (ys_pos, ys_alive)) = _run_chunk_recording(
+            params, base_flat, dirp, table, pos, mem, alive, key_c,
+            presence, step0, chunk)
+        n_alive = int(n_alive_dev)
+        ys_pos = np.asarray(ys_pos)          # (chunk, B, 2)
+        ys_alive = np.asarray(ys_alive)      # (chunk, B)
+        ids_h = np.asarray(ids)
+        for j, agent in enumerate(ids_h):
+            steps_alive = int(ys_alive[:, j].sum())
+            if steps_alive:
+                traj[agent].append(ys_pos[:steps_alive, j])
+        cur = pos.shape[0]
+        if n_alive > 0 and cur > min_bucket and n_alive < cur // 2:
+            m = max(1 << (n_alive - 1).bit_length(), min_bucket)
+            if m < cur:
+                pos, mem, alive, ids = _compact_ids(pos, mem, alive, ids,
+                                                    m)
+    tracks = [np.ascontiguousarray(
+        np.concatenate(parts, axis=0).astype(np.int16))
+        for parts in traj]
+    return presence, tracks
+
+
 def simulate_presence_compacting(params: TrackParams, start_rc,
                                  key: jax.Array,
                                  updraft=None, potential=None,
                                  chunk: int = 256,
-                                 min_bucket: int = 8192,
+                                 min_bucket: int = 1024,
                                  valid=None):
     """Presence simulation with dead-agent compaction.
 

@@ -47,7 +47,7 @@ class SRTM:
         ns = 'N' if lat >= 0 else 'S'
         ew = 'E' if lon >= 0 else 'W'
         url = self.tile_url.format(ns=ns, lat=abs(lat), ew=ew, lon=abs(lon))
-        resp = requests.get(url, timeout=120)
+        resp = requests.get(url, timeout=(4, 120))
         resp.raise_for_status()
         raw = gzip.decompress(resp.content)
         n = int(math.isqrt(len(raw) // 2))

@@ -37,7 +37,11 @@ class TurbinesUSWTB:
             dfraw = dataframe
         else:
             try:
-                dfraw = pd.read_json(self.url)
+                import io
+                import requests
+                resp = requests.get(self.url, timeout=(4, 120))
+                resp.raise_for_status()
+                dfraw = pd.read_json(io.BytesIO(resp.content))
             except Exception:
                 print('Connection issues with USWTB database!')
                 self.dframe = None

@@ -75,7 +75,9 @@ class WMS:
         last = None
         for attempt in range(self.max_retries + 1):
             try:
-                resp = requests.get(self.url, params=params, timeout=120)
+                # (connect, read) timeout: fail fast when unreachable
+                resp = requests.get(self.url, params=params,
+                                    timeout=(4, 120))
                 resp.raise_for_status()
                 if 'xml' in resp.headers.get('Content-Type', ''):
                     raise WMSError(f'WMS service exception: '
@@ -83,6 +85,10 @@ class WMS:
                 return resp.content
             except Exception as exc:  # bounded retry (wms.py:105-125)
                 last = exc
+                conn_err = getattr(requests.exceptions, 'ConnectionError')
+                conn_to = getattr(requests.exceptions, 'ConnectTimeout')
+                if isinstance(exc, (conn_err, conn_to)):
+                    break  # unreachable host: retrying won't help
                 time.sleep(min(2 ** attempt, 8))
         raise WMSError(f'WMS: Connection issues! Try again ({last})')
 

@@ -42,6 +42,7 @@ from .core.rng import case_key, root_key
 from .core.timing import PhaseTimer, elapsed_str
 from .agents import (TrackParams, get_starting_indices, simulate_presence,
                      smooth_presence)
+from .agents.simulate import simulate_tracks_recorded
 from .fields import (compute_aspect_degrees, compute_orographic_updraft,
                      compute_slope_degrees, compute_thermals,
                      get_above_threshold_speed)
@@ -57,7 +58,7 @@ class Simulator(PlottingMixin, Config):
 
     lonlat_crs = 'EPSG:4326'
     time_format = 'y%Ym%md%dh%H'
-    track_pkl_budget = 40_000_000  # track_count * step-cap cells
+    track_record_max = 10_000  # materialize .pkl tracks up to this count
 
     def __init__(self, in_config: Config = None, **kwargs) -> None:
         if in_config is None:
@@ -67,6 +68,7 @@ class Simulator(PlottingMixin, Config):
         print(f'\n---- SSRS (TPU) in {self.sim_mode} mode')
         print(f'Run name: {self.run_name}')
 
+        _enable_compile_cache()
         self.timer = PhaseTimer()
         self._rng = np.random.default_rng(
             self.sim_seed if self.sim_seed >= 0 else None)
@@ -328,11 +330,18 @@ class Simulator(PlottingMixin, Config):
     def _solve_potential(self, conductivity: np.ndarray) -> np.ndarray:
         solver = (self.potential_solver or 'auto').lower()
         if solver == 'auto':
+            # direct (host f64, reference-exact) is O(minutes) beyond
+            # ~200k nodes; the device multigrid solves those in <1 s at
+            # the f32 fidelity documented in potential/direct.py
+            nodes = self.gridsize[0] * self.gridsize[1]
             try:
                 import scipy  # noqa: F401
-                solver = 'direct'
+                solver = 'direct' if nodes <= 200_000 else 'mg'
             except ImportError:
                 solver = 'mg'
+            if solver == 'mg' and self.print_verbose:
+                print(f'(potential: using device multigrid for '
+                      f'{nodes} nodes)')
         if solver in ('direct', 'dense'):
             from .potential.direct import solve_potential_direct
             return solve_potential_direct(conductivity,
@@ -386,8 +395,10 @@ class Simulator(PlottingMixin, Config):
         starts = np.stack([starting_rows, starting_cols],
                           axis=1).astype(np.int32)
         params = self._track_params()
-        record = (int(self.track_count) * params.nsteps
-                  <= self.track_pkl_budget)
+        # reference-format .pkl trajectories are materialized for runs up
+        # to this many tracks (chunked recording handles any step cap);
+        # larger runs keep only the on-device presence counts
+        record = int(self.track_count) <= self.track_record_max
 
         for case_id in self.case_ids:
             updrafts = self.load_updrafts(case_id, apply_threshold=True)
@@ -408,11 +419,9 @@ class Simulator(PlottingMixin, Config):
                       end='', flush=True)
                 start_time = time.time()
                 if record:
-                    presence, steps, tracks, lengths = simulate_presence(
+                    presence, track_list = simulate_tracks_recorded(
                         params, starts, key, updraft=sim_updraft,
-                        potential=sim_potential, record_tracks=True)
-                    track_list = _trim_tracks(np.asarray(tracks),
-                                              np.asarray(lengths))
+                        potential=sim_potential)
                     fname = self._get_tracks_fname(case_id, real_id,
                                                    self.mode_data_dir)
                     with open(f'{fname}.pkl', 'wb') as fobj:
@@ -560,17 +569,28 @@ class Simulator(PlottingMixin, Config):
                 f'd{int(self.uniform_winddirn)}')
 
 
-def _trim_tracks(tracks: np.ndarray, lengths: np.ndarray
-                 ) -> List[np.ndarray]:
-    """(nsteps+1, N, 2) + lengths -> reference-format list of (len, 2)
-    int16 arrays (ssrs/movmodel.py:318)."""
-    return [np.ascontiguousarray(tracks[:lengths[i], i])
-            for i in range(tracks.shape[1])]
-
-
 def _jsonable(v) -> bool:
     try:
         json.dumps(v)
         return True
     except TypeError:
         return False
+
+
+def _enable_compile_cache() -> None:
+    """Persist XLA compilations across processes (first-run compiles of
+    the simulation graphs take tens of seconds; subsequent runs hit the
+    cache). Set SSRS_TPU_NO_COMPILE_CACHE=1 to disable."""
+    if os.environ.get('SSRS_TPU_NO_COMPILE_CACHE'):
+        return
+    try:
+        cache_dir = os.environ.get(
+            'JAX_COMPILATION_CACHE_DIR',
+            os.path.join(os.path.expanduser('~'), '.cache',
+                         'ssrs_tpu_jax'))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+    except Exception:
+        pass  # cache is an optimization; never fail a run over it
