@@ -84,6 +84,24 @@ def harmonic_mean_weights(updraft: jax.Array,
     return jnp.stack(layers, axis=-1)
 
 
+def prepared_weights(updraft: jax.Array, potential: Optional[jax.Array],
+                     dirp: jax.Array, dtype) -> jax.Array:
+    """Move-weight table with the per-agent cascade prologue folded in.
+
+    The first three operations of ``generate_move_probabilities``
+    (ssrs/movmodel.py:227-232) — replace-with-directional-prior on NaN,
+    clip to >= 0, zero the center — depend only on the cell, so they are
+    applied once here instead of at every agent-step. Returns the
+    flattened (nrow*ncol, 9) table in the requested storage dtype.
+    """
+    base = harmonic_mean_weights(updraft, potential)
+    center0 = jnp.asarray(CENTER_ZERO)
+    base = jnp.clip(base, min=0.) * center0
+    row_nan = jnp.any(jnp.isnan(base), axis=-1, keepdims=True)
+    base = jnp.where(row_nan, dirp * center0, base)
+    return base.reshape(-1, 9).astype(dtype)
+
+
 def _push_from_boundary(r: jax.Array, c: jax.Array, nrow: int, ncol: int):
     """Burn-in boundary push (ssrs/movmodel.py:205-217). Note the
     reference's asymmetry: rows pushed when <= 1, cols when <= 0."""
@@ -105,14 +123,21 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
                  dirp: jax.Array, table: jax.Array):
     """Build the per-step transition function.
 
-    ``base_flat`` is the flattened ``(nrow*ncol, 9)`` per-cell weight table
-    (None for the pure directed-random-walk model, ssrs/simulator.py:370-381).
+    ``base_flat`` is the flattened ``(nrow*ncol, 9)`` per-cell weight
+    table produced by ``prepared_weights`` (cascade prologue pre-applied;
+    None for the pure directed-random-walk model,
+    ssrs/simulator.py:370-381).
+
+    The returned ``step(state, u=None)`` accepts optional per-agent
+    uniforms in [0, 1); when None they are drawn from the carried key
+    (the chunked drivers hoist one big uniform draw per chunk instead).
     """
     nrow, ncol = params.grid_shape
     deltas = jnp.asarray(NEIGHBOR_DELTAS)
     center0 = jnp.asarray(CENTER_ZERO)
+    dirp_c0 = dirp * center0
 
-    def step(state: SimState) -> SimState:
+    def step(state: SimState, u: Optional[jax.Array] = None) -> SimState:
         r, c = state.pos[:, 0], state.pos[:, 1]
         in_interior = (r > 0) & (r < nrow - 1) & (c > 0) & (c < ncol - 1)
         past_burnin = state.step > params.burnin
@@ -124,27 +149,37 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
             lambda rc: _push_from_boundary(rc[0], rc[1], nrow, ncol),
             (r, c))
 
-        if base_flat is not None:
-            idx = pr * ncol + pc
-            base = jnp.take(base_flat, idx, axis=0,
-                            indices_are_sorted=False,
-                            unique_indices=False).astype(jnp.float32)
-        else:
-            base = jnp.broadcast_to(dirp[None, :], (r.shape[0], 9))
-
         if params.memory_k > 0:
             mask = center0[None, :] * jnp.prod(
                 jnp.take(table, state.mem, axis=0), axis=1)
         else:
-            mask = jnp.broadcast_to(center0[None, :], base.shape)
+            mask = None
 
-        q = move_probability_cascade(base, mask, dirp, params.nu)
+        if base_flat is not None:
+            idx = pr * ncol + pc
+            base = base_flat.at[idx].get(
+                mode='promise_in_bounds').astype(jnp.float32)
+        else:
+            base = jnp.broadcast_to(dirp_c0[None, :], (r.shape[0], 9))
 
-        key, sub = jax.random.split(state.key)
-        cum = jnp.cumsum(q, axis=1)
-        u = jax.random.uniform(sub, (q.shape[0], 1),
-                               dtype=cum.dtype) * cum[:, -1:]
-        mi = jnp.sum(cum < u, axis=1).astype(jnp.int32)
+        # fallback cascade (ssrs/movmodel.py:233-241); the NaN/clip/center
+        # prologue is folded into the table by prepared_weights
+        p = base * mask if mask is not None else base
+        if mask is not None:
+            allz = jnp.sum(p, axis=1, keepdims=True) == 0.
+            p = jnp.where(allz, dirp_c0[None, :] * mask, p)
+        allz = jnp.sum(p, axis=1, keepdims=True) == 0.
+        p = jnp.where(allz, dirp[None, :], p)
+        if params.nu != 1.0:
+            p = jnp.power(p, params.nu)
+
+        key = state.key
+        if u is None:
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub, (p.shape[0],), dtype=p.dtype)
+        cum = jnp.cumsum(p, axis=1)
+        mi = jnp.sum(cum < u[:, None] * cum[:, -1:],
+                     axis=1).astype(jnp.int32)
         mi = jnp.minimum(mi, 8)
 
         d = deltas[mi]
@@ -159,11 +194,12 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
         else:
             new_mem = state.mem
 
-        flat = jnp.clip(new_r, 0, nrow - 1) * ncol + jnp.clip(
-            new_c, 0, ncol - 1)
+        # positions stay in [0, n-1] (boundary absorption), so the
+        # flattened index needs no clamp
+        flat = new_r * ncol + new_c
         presence = state.presence.reshape(-1).at[flat].add(
-            alive.astype(jnp.int32), indices_are_sorted=False,
-            unique_indices=False).reshape(nrow, ncol)
+            alive.astype(jnp.int32), mode='promise_in_bounds'
+        ).reshape(nrow, ncol)
 
         return SimState(pos=new_pos, mem=new_mem, alive=alive, key=key,
                         presence=presence, step=state.step + 1)
@@ -219,8 +255,8 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
     dirp = jnp.asarray(directional_probs(params.move_dirn))
     table = jnp.asarray(restriction_table())
     if updraft is not None:
-        base = harmonic_mean_weights(updraft, potential)
-        base_flat = base.reshape(-1, 9).astype(params.weight_dtype)
+        base_flat = prepared_weights(updraft, potential, dirp,
+                                     params.weight_dtype)
     else:
         base_flat = None
     step_fn = make_step_fn(params, base_flat, dirp, table)
@@ -261,12 +297,14 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
 def _run_chunk(params: TrackParams, base_flat, dirp, table,
                pos, mem, alive, key, presence, step0, chunk: int):
     """One jitted chunk of the compacting driver; compiled once per
-    (params, agent-bucket-size)."""
+    (params, agent-bucket-size). Uniforms for the whole chunk are drawn
+    in one call instead of per step."""
     step_fn = make_step_fn(params, base_flat, dirp, table)
+    key, sub = jax.random.split(key)
+    us = jax.random.uniform(sub, (chunk, pos.shape[0]), jnp.float32)
     state = SimState(pos=pos, mem=mem, alive=alive, key=key,
                      presence=presence, step=step0)
-    state, _ = jax.lax.scan(lambda s, _: (step_fn(s), None), state, None,
-                            length=chunk)
+    state, _ = jax.lax.scan(lambda s, u: (step_fn(s, u), None), state, us)
     return (state.pos, state.mem, state.alive, state.key, state.presence,
             state.step, jnp.sum(state.alive))
 
@@ -292,14 +330,16 @@ def _run_chunk_recording(params: TrackParams, base_flat, dirp, table,
     """Chunk runner that also emits per-step (positions, alive) for track
     reconstruction."""
     step_fn = make_step_fn(params, base_flat, dirp, table)
+    key, sub = jax.random.split(key)
+    us = jax.random.uniform(sub, (chunk, pos.shape[0]), jnp.float32)
     state = SimState(pos=pos, mem=mem, alive=alive, key=key,
                      presence=presence, step=step0)
 
-    def body(s, _):
-        new = step_fn(s)
+    def body(s, u):
+        new = step_fn(s, u)
         return new, (new.pos.astype(jnp.int16), new.alive)
 
-    state, ys = jax.lax.scan(body, state, None, length=chunk)
+    state, ys = jax.lax.scan(body, state, us)
     return (state.pos, state.mem, state.alive, state.key, state.presence,
             state.step, jnp.sum(state.alive), ys)
 
@@ -322,8 +362,8 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
     dirp = jnp.asarray(directional_probs(params.move_dirn))
     table = jnp.asarray(restriction_table())
     if updraft is not None:
-        base_flat = harmonic_mean_weights(updraft, potential).reshape(
-            -1, 9).astype(params.weight_dtype)
+        base_flat = prepared_weights(updraft, potential, dirp,
+                                     params.weight_dtype)
     else:
         base_flat = None
 
@@ -383,8 +423,8 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     dirp = jnp.asarray(directional_probs(params.move_dirn))
     table = jnp.asarray(restriction_table())
     if updraft is not None:
-        base_flat = harmonic_mean_weights(updraft, potential).reshape(
-            -1, 9).astype(params.weight_dtype)
+        base_flat = prepared_weights(updraft, potential, dirp,
+                                     params.weight_dtype)
     else:
         base_flat = None
 
