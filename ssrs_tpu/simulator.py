@@ -523,13 +523,19 @@ class Simulator(PlottingMixin, Config):
         points = np.array([np.asarray(wtk_xlocs),
                            np.asarray(wtk_ylocs)]).T
         xmesh, ymesh = np.meshgrid(xgrid, ygrid)
-        interp = griddata(points, np.asarray(vdata), (xmesh, ymesh),
-                          method=self.wtk_interp_type)
-        if np.isnan(interp).any():
-            nearest = griddata(points, np.asarray(vdata), (xmesh, ymesh),
-                               method='nearest')
-            interp = np.where(np.isnan(interp), nearest, interp)
-        return interp
+        try:
+            interp = griddata(points, np.asarray(vdata), (xmesh, ymesh),
+                              method=self.wtk_interp_type)
+        except Exception:
+            # linear/cubic need a triangulable point cloud; tiny regions
+            # may contain too few WTK points for one
+            interp = None
+        nearest = griddata(points, np.asarray(vdata), (xmesh, ymesh),
+                           method='nearest')
+        if interp is None:
+            return nearest
+        # grid cells outside the WTK convex hull get nearest-neighbor
+        return np.where(np.isnan(interp), nearest, interp)
 
     def _get_interpolated_wind_conditions(
             self, wspeed, wdirn) -> Tuple[np.ndarray, np.ndarray]:

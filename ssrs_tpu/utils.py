@@ -41,8 +41,8 @@ def _solar_noon_and_halfday(lon: float, lat: float,
               * math.sin(decl)) / (math.cos(phi) * math.cos(decl)))
     cos_h = min(max(cos_h, -1.0), 1.0)
     halfday_hours = math.degrees(math.acos(cos_h)) / 15.0
-    # transit in UTC hours of this date
-    noon_utc = (j_transit - 0.5 - (2451545.0 + n)) * 24.0 + 12.0
+    # 2451545.0 + n is 12:00 UTC on this date; offset to transit in hours
+    noon_utc = 12.0 + (j_transit - (2451545.0 + n)) * 24.0
     return noon_utc, halfday_hours
 
 
