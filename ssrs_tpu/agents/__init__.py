@@ -7,8 +7,10 @@ from .presence import (compute_presence_counts,
                        compute_smooth_presence_counts, circular_kernel,
                        smooth_presence, smooth_presence_from_counts)
 from .simulate import (SimState, TrackParams, harmonic_mean_weights,
-                       init_state, make_step_fn, simulate_presence,
-                       simulate_presence_compacting)
+                       init_state, make_step_fn, prepared_weights,
+                       simulate_presence, simulate_presence_cases,
+                       simulate_presence_compacting,
+                       simulate_tracks_recorded)
 from .starts import get_starting_indices
 
 __all__ = [
@@ -17,6 +19,7 @@ __all__ = [
     'compute_presence_counts', 'compute_smooth_presence_counts',
     'circular_kernel', 'smooth_presence', 'smooth_presence_from_counts',
     'SimState', 'TrackParams', 'harmonic_mean_weights', 'init_state',
-    'make_step_fn', 'simulate_presence', 'simulate_presence_compacting',
-    'get_starting_indices',
+    'make_step_fn', 'prepared_weights', 'simulate_presence',
+    'simulate_presence_cases', 'simulate_presence_compacting',
+    'simulate_tracks_recorded', 'get_starting_indices',
 ]

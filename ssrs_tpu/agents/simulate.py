@@ -421,6 +421,53 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
     return presence, tracks
 
 
+@functools.partial(jax.jit, static_argnames=('params', 'chunk'))
+def simulate_presence_cases(params: TrackParams, base_tables: jax.Array,
+                            dirps: jax.Array, start_rc: jax.Array,
+                            keys: jax.Array, chunk: int = 128):
+    """Batched multi-case simulation: C cases (e.g. a wind-direction or
+    seasonal-snapshot sweep) advance together, vmapped over the case axis.
+
+    The reference runs cases serially through its process pool
+    (ssrs/simulator.py:348-386); here each case contributes an
+    independent population and the whole (C, N)-agent batch saturates the
+    chip.
+
+    Parameters
+    ----------
+    base_tables : (C, nrow*ncol, 9) prepared weight tables
+    dirps : (C, 9) directional priors (may differ per case)
+    start_rc : (N, 2) shared starts or (C, N, 2) per-case starts
+    keys : (C,) PRNG keys
+
+    Returns (presence int32 (C, nrow, ncol), steps int32 (C,)).
+    """
+    table = jnp.asarray(restriction_table())
+    nchunks = -(-params.nsteps // chunk)
+
+    def one_case(base_flat, dirp, starts, key):
+        step_fn = make_step_fn(params, base_flat, dirp, table)
+        state = init_state(params, starts, key)
+
+        def while_cond(carry):
+            st, i = carry
+            return (i < nchunks) & jnp.any(st.alive)
+
+        def while_body(carry):
+            st, i = carry
+            st, _ = jax.lax.scan(lambda s, _: (step_fn(s), None), st,
+                                 None, length=chunk)
+            return st, i + 1
+
+        st, _ = jax.lax.while_loop(while_cond, while_body,
+                                   (state, jnp.asarray(0, jnp.int32)))
+        return st.presence, st.step
+
+    start_axis = 0 if start_rc.ndim == 3 else None
+    return jax.vmap(one_case, in_axes=(0, 0, start_axis, 0))(
+        base_tables, dirps, start_rc, keys)
+
+
 def simulate_presence_compacting(params: TrackParams, start_rc,
                                  key: jax.Array,
                                  updraft=None, potential=None,
