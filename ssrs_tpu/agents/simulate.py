@@ -49,12 +49,15 @@ class TrackParams(NamedTuple):
     # relative weight quantization, which the presence statistics absorb
     # (verified in tests); use 'float32' for maximum fidelity.
     weight_dtype: str = 'bfloat16'
-    # presence accumulation: None = auto (one-hot int8 matmul histogram on
-    # the MXU when nrow+ncol <= 4096 — measured ~20-25% faster than
-    # XLA's serialized scatter-add and bit-identical; scatter otherwise,
-    # since the one-hot bandwidth scales with nrow+ncol while scatter
-    # scales only with the agent count)
-    presence_matmul: Optional[bool] = None
+    # presence accumulation: 'auto' = one-hot int8 MXU matmul histogram
+    # for grids with nrow+ncol <= 4096 (bit-identical to and ~25% faster
+    # end-to-end than XLA's serialized scatter-add), plain 'scatter' for
+    # larger grids (one-hot bandwidth scales with nrow+ncol). 'pallas'
+    # selects the VMEM-resident Pallas histogram kernel
+    # (agents/pallas_hist.py) — far higher standalone throughput but a
+    # wash inside the latency-chained scan; kept for batched/offline
+    # histogram work.
+    presence_impl: str = 'auto'
 
 
 def harmonic_mean_weights(updraft: jax.Array,
@@ -200,10 +203,19 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
         else:
             new_mem = state.mem
 
-        use_matmul = (params.presence_matmul
-                      if params.presence_matmul is not None
-                      else (nrow + ncol) <= 4096)
-        if use_matmul:
+        impl = params.presence_impl
+        if impl == 'auto':
+            # 'pallas' stays opt-in: its throughput is ~48x the XLA
+            # matmul when calls pipeline, but inside the sequential scan
+            # per-call latency dominates and end-to-end it's a wash
+            impl = 'matmul' if (nrow + ncol) <= 4096 else 'scatter'
+        if impl == 'pallas':
+            from .pallas_hist import presence_histogram
+            upd = presence_histogram(new_r, new_c,
+                                     alive.astype(jnp.float32),
+                                     nrow, ncol)
+            presence = state.presence + upd
+        elif impl == 'matmul':
             # histogram as OneHotRows^T @ OneHotCols on the MXU; exact
             # int32 counts, dead agents zeroed via the row one-hot
             oh_r = ((new_r[:, None] == jax.lax.broadcasted_iota(
