@@ -400,40 +400,87 @@ class Simulator(PlottingMixin, Config):
         # larger runs keep only the on-device presence counts
         record = int(self.track_count) <= self.track_record_max
 
+        if self.movement_model not in ('fluidflow', 'drw'):
+            raise ValueError(
+                f'movement_model {self.movement_model!r} not '
+                "implemented; options: 'fluidflow', 'drw'")
+
+        # enumerate all (case, realization, fields) work items
+        work = []
         for case_id in self.case_ids:
             updrafts = self.load_updrafts(case_id, apply_threshold=True)
             for real_id, updraft in enumerate(updrafts):
-                id_str = self._get_id_string(case_id, real_id)
-                key = case_key(self.sim_seed, case_id, real_id, 'tracks')
                 if self.movement_model == 'fluidflow':
                     potential = self.get_directional_potential(
                         updraft, case_id, real_id)
-                    sim_updraft, sim_potential = updraft, potential
-                elif self.movement_model == 'drw':
-                    sim_updraft, sim_potential = None, None
+                    work.append((case_id, real_id, updraft, potential))
                 else:
-                    raise ValueError(
-                        f'movement_model {self.movement_model!r} not '
-                        "implemented; options: 'fluidflow', 'drw'")
-                print(f'{id_str}: Simulating {self.track_count} tracks..',
-                      end='', flush=True)
-                start_time = time.time()
-                if record:
-                    presence, track_list = simulate_tracks_recorded(
-                        params, starts, key, updraft=sim_updraft,
-                        potential=sim_potential)
-                    fname = self._get_tracks_fname(case_id, real_id,
-                                                   self.mode_data_dir)
-                    with open(f'{fname}.pkl', 'wb') as fobj:
-                        pickle.dump(track_list, fobj)
-                else:
-                    presence, steps = self._run_large(
-                        params, starts, key, sim_updraft, sim_potential)
-                print(f'took {elapsed_str(start_time)}', flush=True)
-                fname = self._get_counts_fname(case_id, real_id,
+                    work.append((case_id, real_id, None, None))
+
+        if not record and len(work) > 1:
+            self._simulate_batched(params, starts, work)
+            return
+
+        for case_id, real_id, sim_updraft, sim_potential in work:
+            id_str = self._get_id_string(case_id, real_id)
+            key = case_key(self.sim_seed, case_id, real_id, 'tracks')
+            print(f'{id_str}: Simulating {self.track_count} tracks..',
+                  end='', flush=True)
+            start_time = time.time()
+            if record:
+                presence, track_list = simulate_tracks_recorded(
+                    params, starts, key, updraft=sim_updraft,
+                    potential=sim_potential)
+                fname = self._get_tracks_fname(case_id, real_id,
                                                self.mode_data_dir)
-                np.save(f'{fname}.npy',
-                        np.asarray(presence, dtype=np.int32))
+                with open(f'{fname}.pkl', 'wb') as fobj:
+                    pickle.dump(track_list, fobj)
+            else:
+                presence, steps = self._run_large(
+                    params, starts, key, sim_updraft, sim_potential)
+            print(f'took {elapsed_str(start_time)}', flush=True)
+            fname = self._get_counts_fname(case_id, real_id,
+                                           self.mode_data_dir)
+            np.save(f'{fname}.npy', np.asarray(presence, dtype=np.int32))
+
+    def _simulate_batched(self, params, starts, work) -> None:
+        """All (case, realization) populations advance together, vmapped
+        over the case axis (ssrs_tpu.agents.simulate_presence_cases) — the
+        reference loops these serially through its pool."""
+        import jax.numpy as jnp
+        from .agents import directional_probs, prepared_weights
+        from .agents.simulate import simulate_presence_cases
+
+        dirp = jnp.asarray(directional_probs(float(self.track_direction)))
+        tables, keys = [], []
+        for case_id, real_id, updraft, potential in work:
+            if updraft is None:
+                # drw: a zero table never wins over the directional
+                # fallback; emulate by an all-ones updraft + flat
+                # potential so base weights are uniform*0 -> use dirp
+                tables.append(prepared_weights(
+                    np.ones(self.gridsize, np.float32),
+                    np.zeros(self.gridsize, np.float32), dirp,
+                    params.weight_dtype))
+            else:
+                tables.append(prepared_weights(
+                    np.asarray(updraft), np.asarray(potential), dirp,
+                    params.weight_dtype))
+            keys.append(case_key(self.sim_seed, case_id, real_id,
+                                 'tracks'))
+        print(f'Simulating {len(work)} cases x {self.track_count} '
+              'tracks (batched)..', end='', flush=True)
+        start_time = time.time()
+        presence, steps = simulate_presence_cases(
+            params, jnp.stack(tables),
+            jnp.broadcast_to(dirp, (len(work), 9)),
+            jnp.asarray(starts), jnp.stack(keys))
+        presence = np.asarray(presence, dtype=np.int32)
+        print(f'took {elapsed_str(start_time)}', flush=True)
+        for i, (case_id, real_id, _, _) in enumerate(work):
+            fname = self._get_counts_fname(case_id, real_id,
+                                           self.mode_data_dir)
+            np.save(f'{fname}.npy', presence[i])
 
     def _run_large(self, params, starts, key, updraft, potential):
         """Large-run driver: agent sharding over the device mesh when more
