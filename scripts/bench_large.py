@@ -1,0 +1,80 @@
+"""Large-scale ensemble smoke benchmark (BASELINE.json config 5):
+200x200 km @ 30 m DEM (6667x6667 grid, 44M cells), 100k tracks,
+presence accumulation — all on one chip.
+
+At this size the auto heuristics switch: presence via scatter (one-hot
+bandwidth would scale with nrow+ncol=13334), potential via device
+multigrid (44M unknowns)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from bench import synthetic_dem
+    from ssrs_tpu.agents import TrackParams, get_starting_indices, \
+        simulate_presence_compacting
+    from ssrs_tpu.fields import (get_above_threshold_speed,
+                                 orographic_updraft_from_dem)
+    from ssrs_tpu.potential import solve_potential_for_direction
+
+    nrow = ncol = 6667
+    res = 30.0
+    n_tracks = 100_000
+    step_cap = 4_000
+
+    dem = jnp.asarray(synthetic_dem(nrow, ncol, res))
+    t0 = time.perf_counter()
+    w = orographic_updraft_from_dem(
+        dem, res, 10. * jnp.ones((nrow, ncol), jnp.float32),
+        270. * jnp.ones((nrow, ncol), jnp.float32))
+    conductivity = get_above_threshold_speed(w, 0.75)
+    conductivity.block_until_ready()
+    dt_updraft = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pot, resid = solve_potential_for_direction(conductivity, 0.,
+                                               tol=1e-6, maxiter=60)
+    pot.block_until_ready()
+    dt_potential = time.perf_counter() - t0
+
+    rows, cols = get_starting_indices(
+        n_tracks, [5., 195., 1., 2.], 'random',
+        (ncol * res / 1000., nrow * res / 1000.), res,
+        rng=np.random.default_rng(0))
+    starts = np.stack([rows, cols], axis=1).astype(np.int32)
+    params = TrackParams(grid_shape=(nrow, ncol), move_dirn=0., nu=1.,
+                         memory_k=1, burnin=int(min(nrow, ncol) / 10),
+                         nsteps=step_cap)
+    t0 = time.perf_counter()
+    presence, steps = simulate_presence_compacting(
+        params, starts, jax.random.key(0), updraft=conductivity,
+        potential=pot, chunk=128)
+    presence.block_until_ready()
+    dt_sim = time.perf_counter() - t0
+    total = int(np.asarray(presence).astype(np.int64).sum())
+
+    print(json.dumps({
+        'metric': 'large_scale_smoke',
+        'grid': [nrow, ncol],
+        'cells': nrow * ncol,
+        'updraft_seconds': round(dt_updraft, 2),
+        'potential_seconds': round(dt_potential, 2),
+        'potential_residual': float(resid),
+        'sim_seconds_incl_compile': round(dt_sim, 2),
+        'agent_steps': total - n_tracks,
+        'steps_taken': int(steps),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -554,6 +554,69 @@ class Simulator(PlottingMixin, Config):
         np.save(f'{fname}.npy', summary_prob.astype(np.float32))
         return summary_prob
 
+    def get_turbine_presence(self, radius: float = 1000.) -> 'object':
+        """Turbine-conflict scores: relative presence density at each
+        turbine location (the analysis the reference sketches but leaves
+        commented out, ssrs/simulator.py:594-607). Returns a pandas
+        DataFrame with per-turbine presence, sorted descending."""
+        import pandas as pd
+        if self.turbines.dframe is None:
+            raise RuntimeError('No turbine data available '
+                               '(USWTDB fetch failed or out of bounds)')
+        summary = self.compute_presence_map(radius=radius)
+        xlocs, ylocs = self.turbines.get_locations()
+        xgrid, ygrid = self.get_terrain_grid()
+        cols = np.clip(np.searchsorted(xgrid, xlocs), 0,
+                       self.gridsize[1] - 1)
+        rows = np.clip(np.searchsorted(ygrid, ylocs), 0,
+                       self.gridsize[0] - 1)
+        scores = summary[rows, cols]
+        out = self.turbines.dframe.copy()
+        out['presence'] = scores
+        return out.sort_values('presence', ascending=False)
+
+    def simulate_direction_sweep(self, wind_dirns) -> List[str]:
+        """Uniform-mode wind-direction sweep, batched on device: one
+        updraft field, threshold, potential, and agent population per
+        direction, all advancing together (BASELINE.json config 2). Only
+        valid in uniform mode. Returns the new case ids; artifacts follow
+        the standard naming so presence plotting works unchanged."""
+        if self.sim_mode.lower() != 'uniform':
+            raise ValueError('direction sweep requires uniform mode')
+        slope = self.get_terrain_slope().astype(np.float32)
+        aspect = self.get_terrain_aspect().astype(np.float32)
+        speed = float(self.uniform_windspeed) * np.ones(self.gridsize,
+                                                        np.float32)
+        new_cases = []
+        for dirn in wind_dirns:
+            orograph = compute_orographic_updraft(
+                speed, float(dirn) * np.ones(self.gridsize, np.float32),
+                slope, aspect)
+            case_id = f's{int(self.uniform_windspeed)}d{int(dirn)}'
+            fname = self._get_orograph_fname(case_id, self.mode_data_dir)
+            np.save(f'{fname}.npy', np.asarray(orograph, np.float32))
+            new_cases.append(case_id)
+        self.case_ids = new_cases
+        starting_rows, starting_cols = get_starting_indices(
+            int(self.track_count), list(self.track_start_region),
+            self.track_start_type, tuple(self.region_width_km),
+            float(self.resolution), rng=self._rng)
+        starts = np.stack([starting_rows, starting_cols],
+                          axis=1).astype(np.int32)
+        params = self._track_params()
+        work = []
+        for case_id in new_cases:
+            updraft = self.load_updrafts(case_id,
+                                         apply_threshold=True)[0]
+            if self.movement_model == 'fluidflow':
+                potential = self.get_directional_potential(updraft,
+                                                           case_id, 0)
+                work.append((case_id, 0, updraft, potential))
+            else:
+                work.append((case_id, 0, None, None))
+        self._simulate_batched(params, starts, work)
+        return new_cases
+
     # ---- WTK wind interpolation -----------------------------------------
 
     def get_wtk_locs(self):

@@ -1,0 +1,78 @@
+"""Direction-sweep API and turbine-conflict scoring tests."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ssrs_tpu import Config
+from ssrs_tpu.simulator import Simulator
+
+
+@pytest.fixture(scope='module')
+def sweep_sim(tmp_path_factory):
+    out = tmp_path_factory.mktemp('sweep')
+    cfg = Config(
+        run_name='sweep_test', out_dir=str(out), sim_mode='uniform',
+        sim_seed=12, southwest_lonlat=(-106.21, 42.78),
+        region_width_km=(10., 8.), resolution=200., track_count=300,
+        track_start_region=(1., 9., 1., 2.), track_max_steps=200,
+        movement_model='fluidflow')
+    return Simulator(cfg)
+
+
+def test_direction_sweep(sweep_sim):
+    cases = sweep_sim.simulate_direction_sweep([0., 90., 180., 270.])
+    assert cases == ['s10d0', 's10d90', 's10d180', 's10d270']
+    for case in cases:
+        counts = os.path.join(
+            sweep_sim.mode_data_dir,
+            f'{case}_d0_t75_fluidflow_r0_counts.npy')
+        assert os.path.isfile(counts)
+        cmap = np.load(counts)
+        assert cmap.sum() >= 300
+    # sweep cases feed the standard presence pipeline
+    summary = sweep_sim.compute_presence_map(radius=600.)
+    assert np.isclose(summary.max(), 1.0)
+
+
+def test_turbine_presence_scores(tmp_path, monkeypatch):
+    import ssrs_tpu.simulator as sim_mod
+    from ssrs_tpu.data import TurbinesUSWTB as RealTB
+
+    fixture = pd.DataFrame({
+        't_state': ['WY'] * 2,
+        'p_name': ['P1', 'P1'],
+        'p_year': [2015] * 2,
+        't_cap': [2000] * 2,
+        't_hh': [90.] * 2,
+        't_rd': [100.] * 2,
+        'xlong': [-106.18, -106.15],
+        'ylat': [42.80, 42.81],
+    })
+
+    class FixtureTB(RealTB):
+        def __init__(self, bounds, crs_string='EPSG:4326',
+                     min_hubheight=50., out_fpath=None,
+                     print_verbose=False):
+            super().__init__(bounds, crs_string, min_hubheight,
+                             out_fpath=None, print_verbose=print_verbose,
+                             dataframe=fixture.copy())
+
+    monkeypatch.setattr(sim_mod, 'TurbinesUSWTB', FixtureTB)
+
+    cfg = Config(
+        run_name='score_test', out_dir=str(tmp_path), sim_mode='uniform',
+        sim_seed=2, southwest_lonlat=(-106.21, 42.78),
+        region_width_km=(8., 6.), resolution=200., track_count=200,
+        track_start_region=(1., 7., 1., 2.), track_max_steps=150,
+        movement_model='drw')
+    sim = Simulator(cfg)
+    sim.simulate_tracks()
+    scores = sim.get_turbine_presence(radius=600.)
+    assert 'presence' in scores.columns
+    assert len(scores) == 2
+    assert (scores['presence'] >= 0).all()
+    assert (scores['presence'] <= 1).all()
+    assert scores['presence'].iloc[0] >= scores['presence'].iloc[1]
