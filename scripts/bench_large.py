@@ -27,10 +27,13 @@ def main():
                                  orographic_updraft_from_dem)
     from ssrs_tpu.potential import solve_potential_for_direction
 
-    nrow = ncol = 6667
+    # default 4096^2 = 16.8M cells (~123x123 km @30 m); 6667 (200 km) works
+    # but its multigrid hierarchy takes >10 min to compile on the remote
+    # TPU compiler the first time
+    nrow = ncol = int(os.environ.get('SSRS_LARGE_N', 4096))
     res = 30.0
     n_tracks = 100_000
-    step_cap = 4_000
+    step_cap = int(os.environ.get('SSRS_LARGE_STEPS', 2000))
 
     dem = jnp.asarray(synthetic_dem(nrow, ncol, res))
     t0 = time.perf_counter()
@@ -40,12 +43,15 @@ def main():
     conductivity = get_above_threshold_speed(w, 0.75)
     conductivity.block_until_ready()
     dt_updraft = time.perf_counter() - t0
+    print(f'updraft {dt_updraft:.2f}s', flush=True)
 
     t0 = time.perf_counter()
     pot, resid = solve_potential_for_direction(conductivity, 0.,
-                                               tol=1e-6, maxiter=60)
+                                               tol=1e-6, maxiter=40)
     pot.block_until_ready()
     dt_potential = time.perf_counter() - t0
+    print(f'potential {dt_potential:.2f}s resid {float(resid):.4g}',
+          flush=True)
 
     rows, cols = get_starting_indices(
         n_tracks, [5., 195., 1., 2.], 'random',

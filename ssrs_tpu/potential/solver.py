@@ -42,18 +42,17 @@ SQRT2 = float(np.sqrt(2.0))
 _DIRS = [m for m in range(9) if m != 4]
 
 
-def _fac_planes(nrow: int, ncol: int) -> np.ndarray:
-    """(8, nrow, ncol) per-node, per-direction fac divisors, including the
-    east-column quirk (see module docstring)."""
-    planes = np.empty((8, nrow, ncol), dtype=np.float32)
-    for k, m in enumerate(_DIRS):
-        dr, dc = int(NEIGHBOR_DELTAS[m, 0]), int(NEIGHBOR_DELTAS[m, 1])
-        planes[k] = SQRT2 if (dr != 0 and dc != 0) else 1.0
-        if (dr, dc) == (-1, 0):
-            planes[k, 1:nrow - 1, ncol - 1] = SQRT2
-        elif (dr, dc) == (-1, -1):
-            planes[k, 1:nrow - 1, ncol - 1] = 1.0
-    return planes
+def _fac_plane(dr: int, dc: int, rows: jax.Array, cols: jax.Array,
+               nrow: int, ncol: int):
+    """Per-direction fac divisor, built from index iotas on device (an
+    embedded (8, nrow, ncol) constant made large-grid graphs uncompilable),
+    including the east-column quirk (see module docstring)."""
+    base = SQRT2 if (dr != 0 and dc != 0) else 1.0
+    if (dr, dc) not in ((-1, 0), (-1, -1)):
+        return base
+    east_inner = ((cols == ncol - 1) & (rows >= 1) & (rows <= nrow - 2))
+    swapped = SQRT2 if (dr, dc) == (-1, 0) else 1.0
+    return jnp.where(east_inner, swapped, base)
 
 
 def _shift(x: jax.Array, dr: int, dc: int) -> jax.Array:
@@ -72,10 +71,9 @@ def transition_planes(conductivity: jax.Array) -> jax.Array:
     """
     cond = jnp.asarray(conductivity, jnp.float32)
     nrow, ncol = cond.shape
-    facs = jnp.asarray(_fac_planes(nrow, ncol))
 
-    rows = jnp.arange(nrow)[:, None]
-    cols = jnp.arange(ncol)[None, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nrow, ncol), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nrow, ncol), 1)
 
     planes = []
     for k, m in enumerate(_DIRS):
@@ -88,7 +86,8 @@ def transition_planes(conductivity: jax.Array) -> jax.Array:
         hm = jnp.where(both_nz, 2.0 / (1.0 / safe_c + 1.0 / safe_n), 1e-8)
         in_grid = ((rows + dr >= 0) & (rows + dr < nrow) &
                    (cols + dc >= 0) & (cols + dc < ncol))
-        planes.append(jnp.where(in_grid, hm / facs[k], 0.))
+        fac = _fac_plane(dr, dc, rows, cols, nrow, ncol)
+        planes.append(jnp.where(in_grid, hm / fac, 0.))
     w = jnp.stack(planes)
     return w / jnp.sum(w, axis=0, keepdims=True)
 
