@@ -53,9 +53,10 @@ def main():
     print(f'potential {dt_potential:.2f}s resid {float(resid):.4g}',
           flush=True)
 
+    width_km = ncol * res / 1000.
     rows, cols = get_starting_indices(
-        n_tracks, [5., 195., 1., 2.], 'random',
-        (ncol * res / 1000., nrow * res / 1000.), res,
+        n_tracks, [2., width_km - 2., 1., 2.], 'random',
+        (width_km, nrow * res / 1000.), res,
         rng=np.random.default_rng(0))
     starts = np.stack([rows, cols], axis=1).astype(np.int32)
     params = TrackParams(grid_shape=(nrow, ncol), move_dirn=0., nu=1.,

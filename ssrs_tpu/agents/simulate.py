@@ -32,8 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .moves import (CENTER_ZERO, NEIGHBOR_DELTAS, NEIGHBOR_NORMS_INV,
-                    directional_probs, move_probability_cascade,
-                    restriction_table)
+                    directional_probs, restriction_table)
 
 
 class TrackParams(NamedTuple):
