@@ -27,10 +27,10 @@ def main():
                                  orographic_updraft_from_dem)
     from ssrs_tpu.potential import solve_potential_for_direction
 
-    # default 4096^2 = 16.8M cells (~123x123 km @30 m); 6667 (200 km) works
-    # but its multigrid hierarchy takes >10 min to compile on the remote
-    # TPU compiler the first time
-    nrow = ncol = int(os.environ.get('SSRS_LARGE_N', 4096))
+    # 6667^2 = 44.4M cells = the 200x200 km @30 m BASELINE config;
+    # first-process multigrid compile is ~3 min (enable the persistent
+    # JAX compile cache to amortize)
+    nrow = ncol = int(os.environ.get('SSRS_LARGE_N', 6667))
     res = 30.0
     n_tracks = 100_000
     step_cap = int(os.environ.get('SSRS_LARGE_STEPS', 2000))
