@@ -55,9 +55,24 @@ def _coarsen_mask(bmask: jax.Array) -> jax.Array:
 
 
 def _prolong(e: jax.Array, fine_shape: Tuple[int, int]) -> jax.Array:
-    """Piecewise-constant prolongation back to the fine grid."""
-    up = jnp.repeat(jnp.repeat(e, 2, axis=0), 2, axis=1)
-    return up[:fine_shape[0], :fine_shape[1]]
+    """Cell-centered bilinear prolongation back to the fine grid
+    (9/16-3/16-3/16-1/16 stencil; measurably better V-cycle rates than
+    piecewise-constant injection)."""
+    ep = jnp.pad(e, 1, mode='edge')
+    c = ep[1:-1, 1:-1]
+    up, down = ep[:-2, 1:-1], ep[2:, 1:-1]
+    left, right = ep[1:-1, :-2], ep[1:-1, 2:]
+    ul, ur = ep[:-2, :-2], ep[:-2, 2:]
+    dl, dr = ep[2:, :-2], ep[2:, 2:]
+    f00 = (9. * c + 3. * up + 3. * left + ul) * (1. / 16.)
+    f01 = (9. * c + 3. * up + 3. * right + ur) * (1. / 16.)
+    f10 = (9. * c + 3. * down + 3. * left + dl) * (1. / 16.)
+    f11 = (9. * c + 3. * down + 3. * right + dr) * (1. / 16.)
+    m, n = e.shape
+    out = jnp.stack([jnp.stack([f00, f01], axis=-1),
+                     jnp.stack([f10, f11], axis=-1)], axis=-2)
+    out = out.transpose(0, 2, 1, 3).reshape(2 * m, 2 * n)
+    return out[:fine_shape[0], :fine_shape[1]]
 
 
 def build_levels(conductivity: jax.Array, bmask: jax.Array,
