@@ -69,7 +69,10 @@ class Simulator(PlottingMixin, Config):
         print(f'Run name: {self.run_name}')
 
         _enable_compile_cache()
-        self.timer = PhaseTimer()
+        # SSRS_TPU_TRACE_DIR=<dir> wraps compute phases in jax.profiler
+        # traces viewable with TensorBoard/xprof
+        self._trace_dir = os.environ.get('SSRS_TPU_TRACE_DIR')
+        self.timer = PhaseTimer(trace_dir=self._trace_dir)
         self._rng = np.random.default_rng(
             self.sim_seed if self.sim_seed >= 0 else None)
         if self.sim_seed >= 0:
@@ -385,6 +388,30 @@ class Simulator(PlottingMixin, Config):
     def simulate_tracks(self) -> None:
         """Simulate all tracks for every case/realization
         (ssrs/simulator.py:332-386)."""
+        if self._trace_dir:
+            jax.profiler.start_trace(self._trace_dir)
+        try:
+            with self.timer.phase('simulate_tracks',
+                                  tracks=int(self.track_count),
+                                  cases=len(self.case_ids)):
+                self._simulate_tracks_impl()
+        finally:
+            if self._trace_dir:
+                jax.profiler.stop_trace()
+        self._dump_phase_timings()
+
+    def _dump_phase_timings(self) -> None:
+        """Structured phase log (the reference only prints wall-clock
+        strings; SURVEY.md SS5 flags this as a gap)."""
+        fpath = os.path.join(self.out_dir, self.run_name,
+                             'phase_timings.json')
+        try:
+            with open(fpath, 'w', encoding='utf-8') as fobj:
+                json.dump(self.timer.records, fobj, indent=2, default=str)
+        except OSError:
+            pass
+
+    def _simulate_tracks_impl(self) -> None:
         print(f'Movement model = {self.movement_model}')
         print(f'Updraft threshold = {self.updraft_threshold} m/s')
         print(f'Movement direction = {self.track_direction} deg (cw)')
