@@ -88,7 +88,7 @@ def main():
     def run(key):
         presence, steps = simulate_presence_compacting(
             params, starts, key, updraft=conductivity, potential=pot,
-            chunk=256)
+            chunk=1024)
         return presence, steps
 
     presence, steps = run(jax.random.key(0))

@@ -378,7 +378,7 @@ def _run_chunk_recording(params: TrackParams, base_flat, dirp, table,
 def simulate_tracks_recorded(params: TrackParams, start_rc,
                              key: jax.Array,
                              updraft=None, potential=None,
-                             chunk: int = 256,
+                             chunk: int = 512,
                              min_bucket: int = 1024):
     """Full-trajectory simulation with early exit and compaction.
 
@@ -482,7 +482,7 @@ def simulate_presence_cases(params: TrackParams, base_tables: jax.Array,
 def simulate_presence_compacting(params: TrackParams, start_rc,
                                  key: jax.Array,
                                  updraft=None, potential=None,
-                                 chunk: int = 256,
+                                 chunk: int = 1024,
                                  min_bucket: int = 1024,
                                  valid=None):
     """Presence simulation with dead-agent compaction.
