@@ -18,7 +18,8 @@ ssrs/simulator.py:360-381). On TPU the same stochastic process is a
   (statistically equivalent to ``np.random.choice``, ssrs/movmodel.py:312);
 - burn-in boundary pushes and boundary absorption are masks
   (ssrs/movmodel.py:276,285-291,205-217);
-- presence maps accumulate on device with a scatter-add per step, so
+- presence maps accumulate on device per step (one-hot MXU matmul
+  histogram or scatter-add, see TrackParams.presence_impl), so
   100k x 10k trajectories never materialize.
 """
 
