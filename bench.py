@@ -33,6 +33,8 @@ def synthetic_dem(nrow, ncol, res):
 def main():
     import jax
     import jax.numpy as jnp
+    from ssrs_tpu.simulator import _enable_compile_cache
+    _enable_compile_cache()
     from ssrs_tpu.agents import TrackParams, get_starting_indices, \
         simulate_presence_compacting
     from ssrs_tpu.fields import (get_above_threshold_speed,
