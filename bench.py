@@ -125,4 +125,10 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except Exception as exc:  # axon tunnel/compile flakes are transient
+        print(f'# bench attempt 1 failed ({exc}); retrying once',
+              flush=True)
+        time.sleep(30)
+        main()
