@@ -1,15 +1,18 @@
-"""SSRS-TPU simulation around Altamont Pass, CA at 100-m resolution.
+"""Demo region: Altamont Pass, CA at 100-m resolution.
 
-Mirrors the reference example (examples/example_altamontpass.py): a base
-Config composed into uniform/snapshot/seasonal variants with
-dataclasses.replace, then the full simulate+plot suite. Offline
-environments automatically fall back to synthetic terrain; snapshot and
-seasonal modes need WTK connectivity and are skipped gracefully when it is
-absent."""
+The config values reproduce the reference's Altamont example
+(reference examples/example_altamontpass.py) so outputs are comparable;
+the demo flow itself lives in examples/_demo.py. Offline environments fall
+back to synthetic terrain automatically; WTK-backed modes are skipped when
+no wind-data source is reachable.
+"""
 
-from dataclasses import replace
+from ssrs_tpu import Config
 
-from ssrs_tpu import Config, Simulator
+try:  # package import (e.g. `from examples.example_altamontpass import ...`)
+    from ._demo import mode_variants, run_demo
+except ImportError:  # script run: `python examples/example_altamontpass.py`
+    from _demo import mode_variants, run_demo
 
 config_base = Config(
     run_name='altamont_pass',
@@ -22,43 +25,11 @@ config_base = Config(
     track_count=1000,
 )
 
-config_uniform_north = replace(
-    config_base,
-    sim_mode='uniform',
-    uniform_winddirn=270.,
-    uniform_windspeed=10.,
-)
-
-config_snapshot_north = replace(
-    config_base,
-    sim_mode='snapshot',
-    snapshot_datetime=(2010, 6, 17, 13),
-)
-
-config_seasonal_north = replace(
-    config_base,
-    sim_mode='seasonal',
-    seasonal_start=(3, 1),
-    seasonal_end=(6, 1),
-    seasonal_timeofday='daytime',
-    seasonal_count=8,
-)
+_modes = mode_variants(config_base)
+config_uniform_north = _modes['uniform']
+config_snapshot_north = _modes['snapshot']
+config_seasonal_north = _modes['seasonal']
 
 if __name__ == '__main__':
-    configs_to_run = (
-        config_uniform_north,
-        config_snapshot_north,
-        # config_seasonal_north,
-    )
-    for cfg in configs_to_run:
-        try:
-            sim = Simulator(cfg)
-        except Exception as exc:
-            print(f'Skipping {cfg.sim_mode} mode: {exc}')
-            continue
-        sim.simulate_tracks()
-        sim.plot_terrain_features()
-        sim.plot_wtk_layers()
-        sim.plot_directional_potentials()
-        sim.plot_simulated_tracks()
-        sim.plot_presence_map()
+    # seasonal left out of the default run, as in the reference script
+    run_demo((config_uniform_north, config_snapshot_north))

@@ -1,9 +1,16 @@
-"""SSRS-TPU simulation over the Appalachian Mountains, WV at 100-m
-resolution (mirrors examples/example_appalachian.py in the reference)."""
+"""Demo region: Appalachian Mountains, WV at 100-m resolution.
 
-from dataclasses import replace
+The config values reproduce the reference's Appalachian example
+(reference examples/example_appalachian.py) so outputs are comparable;
+the demo flow itself lives in examples/_demo.py.
+"""
 
-from ssrs_tpu import Config, Simulator
+from ssrs_tpu import Config
+
+try:  # package import (e.g. `from examples.example_appalachian import ...`)
+    from ._demo import mode_variants, run_demo
+except ImportError:  # script run: `python examples/example_appalachian.py`
+    from _demo import mode_variants, run_demo
 
 config_base = Config(
     run_name='appalachian',
@@ -16,43 +23,11 @@ config_base = Config(
     track_count=1000,
 )
 
-config_uniform_north = replace(
-    config_base,
-    sim_mode='uniform',
-    uniform_winddirn=270.,
-    uniform_windspeed=10.,
-)
-
-config_snapshot_north = replace(
-    config_base,
-    sim_mode='snapshot',
-    snapshot_datetime=(2010, 6, 17, 13),
-)
-
-config_seasonal_north = replace(
-    config_base,
-    sim_mode='seasonal',
-    seasonal_start=(3, 1),
-    seasonal_end=(6, 1),
-    seasonal_timeofday='daytime',
-    seasonal_count=8,
-)
+_modes = mode_variants(config_base)
+config_uniform_north = _modes['uniform']
+config_snapshot_north = _modes['snapshot']
+config_seasonal_north = _modes['seasonal']
 
 if __name__ == '__main__':
-    configs_to_run = (
-        config_uniform_north,
-        config_snapshot_north,
-        # config_seasonal_north,
-    )
-    for cfg in configs_to_run:
-        try:
-            sim = Simulator(cfg)
-        except Exception as exc:
-            print(f'Skipping {cfg.sim_mode} mode: {exc}')
-            continue
-        sim.simulate_tracks()
-        sim.plot_terrain_features()
-        sim.plot_wtk_layers()
-        sim.plot_directional_potentials()
-        sim.plot_simulated_tracks()
-        sim.plot_presence_map()
+    # seasonal left out of the default run, as in the reference script
+    run_demo((config_uniform_north, config_snapshot_north))

@@ -180,12 +180,22 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
         allz = jnp.sum(p, axis=1, keepdims=True) == 0.
         p = jnp.where(allz, dirp[None, :], p)
         if params.nu != 1.0:
+            # normalize by the row max before sharpening: proportionality
+            # is preserved and the raw weights (up to ~1e4) can neither
+            # overflow f32 for large nu nor underflow the whole row to an
+            # all-zero cumsum (the reference powers an already-normalized
+            # probability vector, ssrs/movmodel.py:242-243)
+            p = p / jnp.max(p, axis=1, keepdims=True)
             p = jnp.power(p, params.nu)
 
         key = state.key
         if u is None:
             key, sub = jax.random.split(key)
             u = jax.random.uniform(sub, (p.shape[0],), dtype=p.dtype)
+        # force u > 0 so a zero-probability move (zero-width CDF interval
+        # at index 0) is unreachable, matching np.random.choice which never
+        # selects zero-probability entries (ssrs/movmodel.py:312)
+        u = jnp.maximum(u, jnp.finfo(p.dtype).tiny)
         cum = jnp.cumsum(p, axis=1)
         mi = jnp.sum(cum < u[:, None] * cum[:, -1:],
                      axis=1).astype(jnp.int32)

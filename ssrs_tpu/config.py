@@ -94,6 +94,11 @@ class Config:
     potential_maxiter: int = 0  # <=0 chooses a grid-dependent default
     # device mesh: number of devices to shard agents over (0 = all local)
     mesh_devices: int = 0
+    # storage dtype of the per-cell move-weight table: 'float32' keeps
+    # move probabilities at the reference's working precision; 'bfloat16'
+    # halves the dominant per-step gather cost for ~0.4% relative weight
+    # quantization (the presence statistics absorb it — see bench.py)
+    track_weight_precision: str = 'float32'
 
     # class-level constant (not a dataclass field; matches reference where
     # turbine_mrkr_styles carries no annotation, ssrs/config.py:61)

@@ -42,6 +42,74 @@ class WMS:
         self.url = url
         self.max_gridsize = max_gridsize
         self.max_retries = max_retries
+        self._capabilities = None  # layer -> set of lowercase CRS strings
+
+    # ---- capabilities ------------------------------------------------------
+
+    def _fetch_capabilities(self) -> dict:
+        """GetCapabilities -> {layer name: {crs strings, lowercase}}.
+
+        The reference validates the requested layer and CRS against the
+        server's advertised capabilities via owslib at construction
+        (ssrs/terrain/wms.py:56-70); here the XML is parsed directly and
+        fetched lazily on the first download so offline construction (for
+        tile-geometry work) stays possible. WMS Layer elements inherit CRS
+        from ancestors per the spec, which the recursion reproduces.
+        """
+        import requests
+        import xml.etree.ElementTree as ET
+        resp = requests.get(self.url, params={
+            'service': 'WMS', 'request': 'GetCapabilities',
+            'version': self.version}, timeout=(4, 60))
+        resp.raise_for_status()
+        root = ET.fromstring(resp.content)
+
+        def local(tag: str) -> str:
+            return tag.rsplit('}', 1)[-1]
+
+        layers: dict = {}
+
+        def walk(el, inherited):
+            crs = set(inherited)
+            name = None
+            for child in el:
+                tag = local(child.tag)
+                if tag in ('CRS', 'SRS') and child.text:
+                    crs.add(child.text.strip().lower())
+                elif tag == 'Name' and child.text:
+                    name = child.text.strip()
+            if name:
+                layers[name] = crs
+            for child in el:
+                if local(child.tag) == 'Layer':
+                    walk(child, crs)
+
+        for cap in (el for el in root.iter()
+                    if local(el.tag) == 'Capability'):
+            for child in cap:
+                if local(child.tag) == 'Layer':
+                    walk(child, set())
+        return layers
+
+    def validate_layer(self, layer: str) -> None:
+        """Check the requested layer exists and supports this client's CRS
+        per the server's GetCapabilities (ssrs/terrain/wms.py:56-70)."""
+        if self._capabilities is None:
+            try:
+                self._capabilities = self._fetch_capabilities()
+            except Exception as exc:
+                raise WMSError(
+                    f'WMS: GetCapabilities request to {self.url} failed '
+                    f'({exc})') from exc
+        if layer not in self._capabilities:
+            raise ValueError(
+                f'WMS: layer {layer!r} is not advertised by this server; '
+                'available: ' + ', '.join(sorted(self._capabilities)))
+        if self.crs_str.lower() not in self._capabilities[layer]:
+            raise ValueError(
+                f'WMS: layer {layer!r} does not support CRS '
+                f'{self.crs_str}; advertised: '
+                + ', '.join(sorted(self._capabilities[layer])))
 
     def _bbox_param(self, bnds) -> str:
         if self.version == '1.3.0' and self.crs_str.upper() in (
@@ -90,7 +158,8 @@ class WMS:
                 if isinstance(exc, (conn_err, conn_to)):
                     break  # unreachable host: retrying won't help
                 time.sleep(min(2 ** attempt, 8))
-        raise WMSError(f'WMS: Connection issues! Try again ({last})')
+        raise WMSError(f'WMS: GetMap gave up after {self.max_retries + 1} '
+                       f'attempts ({last})')
 
     def download_raster(self, layer: str, res: float, fpath: str) -> None:
         """Download, tile by tile, and mosaic into ``fpath``
@@ -100,6 +169,7 @@ class WMS:
         if not 0. < res < max_res:
             raise ValueError(f'WMS: Invalid resolution {res} for bnds '
                              f'{self.bnds} in crs {self.crs_str}\n')
+        self.validate_layer(layer)
         tiles = self.segment_region_into_tiles(res)
         arrays = []
         for bnds in tiles:

@@ -10,6 +10,7 @@ network/IO bound)."""
 
 from __future__ import annotations
 
+import json
 import os
 from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime
@@ -40,23 +41,28 @@ class WTK(WtkSource):
         varnames = [varnames] if isinstance(varnames, str) else varnames
         self.varnames = set(varnames).intersection(self.valid_layers)
         if self.varnames:
-            print('WTK: Downloading following layers:\n'
-                  + '\n'.join(self.varnames))
+            print('WTK: layers to fetch: ' + ', '.join(sorted(self.varnames)))
         else:
-            raise ValueError('WTK: No valid layer found among:\n'
-                             + '\n'.join(varnames) + '\n')
+            raise ValueError(
+                'WTK: none of the requested layers exist in this source: '
+                + ', '.join(varnames))
 
     def validate_requested_time(self, req_time: datetime) -> None:
         if not isinstance(req_time, datetime):
-            raise ValueError('Provide a valid datetime.datetime object')
+            raise ValueError('WTK: requested time must be a '
+                             'datetime.datetime instance')
         if req_time.year not in self.years:
-            raise ValueError(f'{req_time.year} not found in {self.years}')
+            raise ValueError(f'WTK: year {req_time.year} is outside this '
+                             f'source\'s coverage {self.years}')
 
     # ---- locations -------------------------------------------------------
 
+    def _bounds_fpath(self) -> str:
+        return os.path.join(self.out_dir, 'wtk_locations_bounds.json')
+
     def download_locations(self) -> None:
         """Scan the coordinates dataset for points inside the bounds
-        (ssrs/wtk/wtk.py:73-96)."""
+        (ssrs/wtk/wtk.py:73-96) and record which bounds produced the cache."""
         fpath = os.path.join(self.out_dir, 'wtk_locations.csv')
         with self.hsds.File(self.file_names[0], mode='r') as f_obj:
             lat_all = f_obj['coordinates'][:, 0]
@@ -75,12 +81,33 @@ class WTK(WtkSource):
             'Longitude': lon_band[sel],
             'Latitude': lat_band[sel],
         }).to_csv(fpath)
+        with open(self._bounds_fpath(), 'w', encoding='utf-8') as bf:
+            json.dump({'lonlat_bounds': list(map(float, self.lonlat_bounds)),
+                       'source': self.source_name}, bf)
+
+    def _cached_locations_valid(self) -> bool:
+        """True when the cached CSV was produced for the bounds this client
+        was constructed with. The reference's invalidation check is inverted
+        and silently reuses stale stations when the region changes
+        (ssrs/wtk/wtk.py:101-109); here a sidecar records the generating
+        bounds and any mismatch (or a missing sidecar) forces a re-scan."""
+        try:
+            with open(self._bounds_fpath(), 'r', encoding='utf-8') as bf:
+                meta = json.load(bf)
+            cached = meta.get('lonlat_bounds')
+            return (meta.get('source') == self.source_name
+                    and cached is not None
+                    and np.allclose(cached, self.lonlat_bounds, atol=1e-9))
+        except (FileNotFoundError, json.JSONDecodeError, TypeError):
+            return False
 
     def get_locations(self) -> pd.DataFrame:
-        """CSV-cached locations with bounds validation
-        (ssrs/wtk/wtk.py:98-114)."""
+        """CSV-cached locations, invalidated when the requested bounds (or
+        source) differ from the ones that produced the cache."""
         fpath = os.path.join(self.out_dir, 'wtk_locations.csv')
         try:
+            if not self._cached_locations_valid():
+                raise FileNotFoundError
             dfbase = pd.read_csv(fpath, index_col=0)
             if dfbase.empty:
                 raise FileNotFoundError
@@ -96,8 +123,8 @@ class WTK(WtkSource):
         """Extract all variables at one timestamp
         (ssrs/wtk/wtk.py:116-154)."""
         self.validate_requested_time(req_time)
-        print(f'WTK: Downloading data for '
-              f'{req_time.strftime("%I %p, %d %b %Y")}', flush=True)
+        print(f'WTK: fetching wind conditions at '
+              f'{req_time.strftime("%Y-%m-%d %H:00")}', flush=True)
         time_diff = req_time - datetime(req_time.year, 1, 1, 0)
         time_index = time_diff.days * 24 + time_diff.seconds // 3600
 
@@ -118,7 +145,8 @@ class WTK(WtkSource):
                                                        inds] / inorm
                 except Exception as exc:
                     raise ValueError(
-                        f'{varname} not found in {list(fobj)}') from exc
+                        f'WTK: layer {varname!r} could not be read; the '
+                        f'source exposes {list(fobj)}') from exc
         newdf.to_csv(os.path.join(self.out_dir,
                                   self.get_filename(req_time)))
         return newdf
@@ -134,7 +162,7 @@ class WTK(WtkSource):
             if not newdf['Indices'].equals(dfbase['Indices']):
                 raise FileNotFoundError
         except FileNotFoundError:
-            print('WTK: Need to download first!')
+            print('WTK: no usable cache for this timestamp; fetching.')
             newdf = self.download_data_for_this_time(req_time)
         return newdf
 

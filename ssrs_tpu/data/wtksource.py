@@ -49,8 +49,8 @@ class WtkSource:
             self.module_name = 'h5py'
         else:
             raise ValueError(
-                f'Invalid WindToolKit source: {sname}\nOptions:\n'
-                + '\n'.join(self.valid_sources) + '\n')
+                f'Unknown WindToolKit source {sname!r}; pick one of '
+                + ', '.join(self.valid_sources))
 
         self.source_name = sname
         self.file_names = [fname.replace('$YEAR', str(yr))
@@ -66,12 +66,14 @@ class WtkSource:
                 self.valid_layers = list(f_obj)
         except FileNotFoundError:
             if sname in ('EAGLE', 'EAGLE_LED'):
-                hint = (f'WTK source {sname} requires access to NREL '
-                        f'EAGLE system, choose AWS instead!')
+                hint = (f'the {sname} paths only exist on NREL HPC '
+                        'filesystems; use the AWS/HSDS source elsewhere')
             else:
-                hint = 'Connection issues! Try again.'
+                hint = ('the HSDS endpoint did not respond; check '
+                        'connectivity and retry')
             raise FileNotFoundError(
-                f'Cannot find {self.file_names[0]}\n{hint}') from None
+                f'WTK: could not open {self.file_names[0]} ({hint})'
+            ) from None
         if sname == 'AWS':
             self.validate_aws_source()
 
@@ -84,15 +86,20 @@ class WtkSource:
                 _ = list(f_obj)
         except OSError:
             raise ValueError(
-                f'AWS: Invalid or Nonexistent file at {hscfg_fpath}'
+                'WTK: the HSDS probe failed — the .hscfg credentials file '
+                f'at {hscfg_fpath} is missing or holds an invalid API key '
+                '(get one at https://developer.nrel.gov/signup/)'
             ) from None
 
 
 def create_hscfg_file(api_key: str, fpath: str) -> None:
-    """Write the .hscfg HSDS credentials file
-    (ssrs/wtk/wtksource.py:63-70)."""
-    with open(fpath, 'w', encoding='UTF-8') as f_obj:
-        f_obj.write('hs_endpoint = https://developer.nrel.gov/api/hsds\n')
-        f_obj.write('hs_username = None\n')
-        f_obj.write('hs_password = None\n')
-        f_obj.write('hs_api_key = ' + api_key + '\n')
+    """Write an .hscfg HSDS credentials file for the NREL developer API
+    (format per ssrs/wtk/wtksource.py:63-70)."""
+    settings = {
+        'hs_endpoint': 'https://developer.nrel.gov/api/hsds',
+        'hs_username': 'None',
+        'hs_password': 'None',
+        'hs_api_key': api_key,
+    }
+    with open(fpath, 'w', encoding='utf-8') as f_obj:
+        f_obj.write(''.join(f'{k} = {v}\n' for k, v in settings.items()))

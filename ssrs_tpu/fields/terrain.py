@@ -8,8 +8,10 @@ along axis 0 and dz_dy along axis 1; we reproduce that exactly, border cells
 are zero (the reference writes NaN then ``nan_to_num``).
 
 TPU notes: this is a bandwidth-bound VPU stencil. XLA fuses the shifted
-reads into a single pass; a Pallas variant exists in
-``ssrs_tpu.fields.pallas_stencil`` and is used for large grids.
+reads into a single pass, which is already within ~2x of the HBM roofline
+(measured in docs/DESIGN.md); no hand-written kernel is needed here. The
+package's one opt-in Pallas kernel is the presence histogram
+(``ssrs_tpu.agents.pallas_hist``), not a terrain stencil.
 """
 
 from __future__ import annotations
@@ -68,21 +70,66 @@ def compute_aspect_degrees(z_mat: jax.Array, res: float) -> jax.Array:
     return jnp.nan_to_num(out)
 
 
+def _richdem_gradients(z_mat: jax.Array, res: float):
+    """Horn gradients in richdem/GDAL's raster convention: x along axis 1
+    (columns, "easting"), y along axis 0 with row 0 treated as the TOP of
+    the raster. This differs from the reference's own stencil above, which
+    treats axis 0 as x (``_horn_gradients``). Unit cell size with the
+    elevations scaled by ``zscale = 1/res``, exactly as the reference
+    invokes richdem (ssrs/layers.py:146-147,166-167)."""
+    z = z_mat / res  # richdem's zscale multiplies the elevations
+    nw, n_, ne = z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:]
+    w_, e_ = z[1:-1, :-2], z[1:-1, 2:]
+    sw, s_, se = z[2:, :-2], z[2:, 1:-1], z[2:, 2:]
+    dz_dx = ((ne + 2. * e_ + se) - (nw + 2. * w_ + sw)) / 8.
+    dz_dy = ((sw + 2. * s_ + se) - (nw + 2. * n_ + ne)) / 8.
+    return dz_dx, dz_dy
+
+
+@partial(jax.jit, static_argnames=())
 def compute_slope_richdem_degrees(z_mat: jax.Array, res: float) -> jax.Array:
-    """richdem-equivalent slope (ssrs/layers.py:131-148). richdem's
-    'slope_degrees' attribute is the same Horn 1981 stencil this module
-    implements, so this is an alias kept for API parity (richdem's C++
-    core is not available here)."""
-    return compute_slope_degrees(z_mat, res)
+    """richdem's 'slope_degrees' attribute (ssrs/layers.py:131-148): the
+    Horn 1981 stencil in richdem's raster axis convention with
+    ``zscale = 1/res``. Numerically identical to ``compute_slope_degrees``
+    in the interior (the gradient magnitude is axis-order invariant); the
+    border carries richdem's nodata value -9999 instead of 0 (richdem is
+    not installable in this offline environment, so the border convention
+    is implemented per its documentation rather than cross-checked)."""
+    z_mat = jnp.asarray(z_mat)
+    dz_dx, dz_dy = _richdem_gradients(z_mat, res)
+    interior = jnp.degrees(jnp.arctan(jnp.sqrt(dz_dx ** 2 + dz_dy ** 2)))
+    out = jnp.full_like(z_mat, -9999.)
+    return out.at[1:-1, 1:-1].set(jnp.nan_to_num(interior))
 
 
-def compute_aspect_richdem_degrees(z_mat: jax.Array, res: float) -> jax.Array:
-    """richdem-equivalent aspect (ssrs/layers.py:151-168); see
-    ``compute_slope_richdem_degrees``. Note richdem's aspect convention
-    (compass bearing of downslope) differs from the reference's own
-    ``compute_aspect_degrees`` formula; the Simulator only consumes the
-    latter, which is what this returns."""
-    return compute_aspect_degrees(z_mat, res)
+@partial(jax.jit, static_argnames=())
+def compute_aspect_richdem_degrees(z_mat: jax.Array, res: float
+                                   ) -> jax.Array:
+    """richdem's 'aspect' attribute (ssrs/layers.py:151-168): the compass
+    bearing of the downslope direction per Horn 1981 as implemented by
+    richdem/GDAL (gdaldem) — NOT the reference's own aspect formula.
+
+        raw = degrees(atan2(dz_dy, -dz_dx))
+        aspect = 90 - raw            (raw in [0, 90])
+                 360 - raw + 90      (raw > 90)
+                 90 - raw            (raw < 0)
+
+    so 0 = toward row 0's edge ("north" in richdem's top-row-north
+    convention), 90 = east, proceeding clockwise. Because the Simulator
+    stores rasters with a lower-left origin (row 0 = south), values are
+    N/S-mirrored relative to true compass bearings — which is exactly what
+    the reference's richdem call returns on the same arrays. Flat and
+    border cells carry the nodata value -9999 (documented assumption;
+    richdem cannot be installed offline to cross-check)."""
+    z_mat = jnp.asarray(z_mat)
+    dz_dx, dz_dy = _richdem_gradients(z_mat, res)
+    raw = jnp.degrees(jnp.arctan2(dz_dy, -dz_dx))
+    aspect = jnp.where(raw < 0., 90. - raw,
+                       jnp.where(raw > 90., 360. - raw + 90., 90. - raw))
+    flat = (dz_dx == 0.) & (dz_dy == 0.)
+    interior = jnp.where(flat, -9999., aspect)
+    out = jnp.full_like(z_mat, -9999.)
+    return out.at[1:-1, 1:-1].set(interior)
 
 
 @partial(jax.jit, static_argnames=())

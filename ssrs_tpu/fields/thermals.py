@@ -10,7 +10,7 @@ a Gaussian filter (sigma=4, zero-padded borders).
 The reference does this with a per-cell Python double loop; here it is a
 vectorized Bernoulli + lognormal draw and a separable Gaussian convolution,
 all on device. RNG parity with NumPy's stream is impossible (different
-generators), so acceptance is statistical (see tests/test_thermals.py).
+generators), so acceptance is statistical (see tests/test_fields.py).
 """
 
 from __future__ import annotations

@@ -38,6 +38,7 @@ import numpy as np
 import jax
 
 from .config import Config
+from .core.grid import Grid
 from .core.rng import case_key, root_key
 from .core.timing import PhaseTimer, elapsed_str
 from .agents import (TrackParams, get_starting_indices, simulate_presence,
@@ -49,8 +50,7 @@ from .fields import (compute_aspect_degrees, compute_orographic_updraft,
 from .data import (Terrain, TurbinesUSWTB, get_raster_in_projected_crs,
                    transform_bounds, transform_coordinates)
 from .plotting import PlottingMixin
-from .utils import (get_extent_from_bounds, get_seasonal_datetimes_list,
-                    makedir_if_not_exists)
+from .utils import get_seasonal_datetimes_list, makedir_if_not_exists
 
 
 class Simulator(PlottingMixin, Config):
@@ -95,25 +95,19 @@ class Simulator(PlottingMixin, Config):
                        if not k.startswith('_') and _jsonable(v)},
                       cfile, ensure_ascii=False, indent=2, default=str)
 
-        # grid (ssrs/simulator.py:69-74)
+        # grid geometry (ssrs/simulator.py:69-85), captured as a Grid value
         print(f'Terrain resolution = {self.resolution} m')
-        xsize = int(round(self.region_width_km[0] * 1000. / self.resolution))
-        ysize = int(round(self.region_width_km[1] * 1000. / self.resolution))
-        self.gridsize = (ysize, xsize)
-        print(f'Terrain grid size = {self.gridsize}')
-
-        # bounds in projected + lonlat crs (ssrs/simulator.py:76-85)
         proj_west, proj_south = transform_coordinates(
             self.lonlat_crs, self.projected_crs,
             self.southwest_lonlat[0], self.southwest_lonlat[1])
-        proj_east = float(np.asarray(proj_west).ravel()[0]) \
-            + (xsize - 1) * self.resolution
-        proj_north = float(np.asarray(proj_south).ravel()[0]) \
-            + (ysize - 1) * self.resolution
-        self.bounds = (float(np.asarray(proj_west).ravel()[0]),
-                       float(np.asarray(proj_south).ravel()[0]),
-                       proj_east, proj_north)
-        self.extent = get_extent_from_bounds(self.bounds)
+        self.grid = Grid.from_region(
+            tuple(self.region_width_km), self.resolution,
+            (float(np.asarray(proj_west).ravel()[0]),
+             float(np.asarray(proj_south).ravel()[0])))
+        self.gridsize = self.grid.shape
+        print(f'Terrain grid size = {self.gridsize}')
+        self.bounds = self.grid.bounds
+        self.extent = self.grid.extent
         self.lonlat_bounds = transform_bounds(
             self.bounds, self.projected_crs, self.lonlat_crs)
 
@@ -224,13 +218,7 @@ class Simulator(PlottingMixin, Config):
 
     def get_terrain_grid(self):
         """(xgrid, ygrid) (ssrs/simulator.py:177-185)."""
-        xgrid = np.linspace(self.bounds[0],
-                            self.bounds[0] + (self.gridsize[1] - 1)
-                            * self.resolution, self.gridsize[1])
-        ygrid = np.linspace(self.bounds[1],
-                            self.bounds[1] + (self.gridsize[0] - 1)
-                            * self.resolution, self.gridsize[0])
-        return xgrid, ygrid
+        return self.grid.xy_grid()
 
     # ---- updrafts --------------------------------------------------------
 
@@ -374,16 +362,16 @@ class Simulator(PlottingMixin, Config):
     # ---- track simulation -----------------------------------------------
 
     def _track_params(self) -> TrackParams:
-        nrow, ncol = self.gridsize
         cap = self.track_max_steps if self.track_max_steps > 0 else \
-            int(np.ceil(nrow / 2 * ncol / 2))
+            self.grid.reference_max_moves()
         return TrackParams(
-            grid_shape=(nrow, ncol),
+            grid_shape=self.grid.shape,
             move_dirn=float(self.track_direction),
             nu=float(self.track_stochastic_nu),
             memory_k=int(self.track_dirn_restrict),
-            burnin=int(min(nrow, ncol) / 10),
-            nsteps=cap)
+            burnin=self.grid.burnin_length(),
+            nsteps=cap,
+            weight_dtype=str(self.track_weight_precision))
 
     def simulate_tracks(self) -> None:
         """Simulate all tracks for every case/realization

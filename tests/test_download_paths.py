@@ -32,6 +32,7 @@ def test_wms_download_raster_offline(tmp_path, monkeypatch):
         return fpath.read_bytes()
 
     monkeypatch.setattr(wms, '_getmap', fake_getmap)
+    wms._capabilities = {'layer': {'epsg:4326'}}  # offline: skip the fetch
     out = str(tmp_path / 'mosaic.tif')
     wms.download_raster('layer', res, out)
     info = read_geotiff(out)
@@ -55,6 +56,50 @@ def test_wms_bbox_axis_order():
     assert wms._bbox_param((1., 2., 3., 4.)) == '2.0,1.0,4.0,3.0'
     wms.version = '1.1.1'
     assert wms._bbox_param((1., 2., 3., 4.)) == '1.0,2.0,3.0,4.0'
+
+
+CAPABILITIES_XML = b"""<?xml version="1.0" encoding="UTF-8"?>
+<WMS_Capabilities xmlns="http://www.opengis.net/wms" version="1.3.0">
+  <Capability>
+    <Layer>
+      <Title>root</Title>
+      <CRS>CRS:84</CRS>
+      <CRS>EPSG:4326</CRS>
+      <Layer queryable="1">
+        <Name>3DEPElevation:None</Name>
+        <Title>DEM</Title>
+        <CRS>EPSG:3857</CRS>
+      </Layer>
+      <Layer>
+        <Name>3DEPElevation:Slope Degrees</Name>
+        <Title>Slope</Title>
+      </Layer>
+    </Layer>
+  </Capability>
+</WMS_Capabilities>"""
+
+
+def test_wms_capabilities_validation():
+    """Layer/CRS validation against parsed GetCapabilities, including CRS
+    inheritance from ancestor Layer elements (ssrs/terrain/wms.py:56-70)."""
+    from unittest import mock
+
+    wms = WMS((0., 0., 2., 2.), 'EPSG:4326', 'http://example.invalid')
+    resp = mock.Mock()
+    resp.content = CAPABILITIES_XML
+    resp.raise_for_status = lambda: None
+    with mock.patch('requests.get', return_value=resp):
+        caps = wms._fetch_capabilities()
+    assert caps['3DEPElevation:None'] == {'crs:84', 'epsg:4326', 'epsg:3857'}
+    assert caps['3DEPElevation:Slope Degrees'] == {'crs:84', 'epsg:4326'}
+
+    wms._capabilities = caps
+    wms.validate_layer('3DEPElevation:None')  # ok
+    with pytest.raises(ValueError, match='not advertised'):
+        wms.validate_layer('nonexistent')
+    wms.crs_str = 'EPSG:9999'
+    with pytest.raises(ValueError, match='does not support CRS'):
+        wms.validate_layer('3DEPElevation:None')
 
 
 def test_srtm_stitch_and_clip(tmp_path, monkeypatch):

@@ -58,7 +58,7 @@ def test_sharded_fluidflow(rng):
     updraft = (1.0 + 0.8 * np.sin(x) * np.sin(y)).astype(np.float32)
     potential = (np.linspace(1000., 0., nrow)[:, None]
                  * np.ones((1, ncol))).astype(np.float32)
-    n = 96
+    n = 4096
     starts = np.stack([rng.integers(3, 6, n), rng.integers(20, 30, n)],
                       axis=1).astype(np.int32)
     presence, _ = simulate_presence_sharded(
@@ -66,10 +66,13 @@ def test_sharded_fluidflow(rng):
         potential=potential)
     presence = np.asarray(presence)
     assert presence.sum() > n
-    # statistical agreement with the single-device engine
+    # statistical agreement with the single-device engine: different RNG
+    # partitioning -> distributional comparison, but with 4096 agents the
+    # row/col marginals must agree tightly (L1 over marginals; sampling
+    # noise at this n measures ~0.01-0.03)
     p_single, _ = simulate_presence(_params(), starts, jax.random.key(7),
                                     updraft=updraft, potential=potential)
     a = presence / presence.sum()
     b = np.asarray(p_single) / np.asarray(p_single).sum()
-    # different RNG partitioning -> only distributional agreement
-    assert np.abs(a.sum(axis=1) - b.sum(axis=1)).sum() < 0.4
+    assert np.abs(a.sum(axis=1) - b.sum(axis=1)).sum() < 0.08
+    assert np.abs(a.sum(axis=0) - b.sum(axis=0)).sum() < 0.08

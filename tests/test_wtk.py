@@ -63,6 +63,30 @@ def test_wtk_locations(wtk_h5, tmp_path):
                                        'wtk_locations.csv'))
 
 
+def test_wtk_locations_cache_invalidated_on_new_bounds(wtk_h5, tmp_path):
+    """Reusing an out_dir with different bounds must re-scan, not silently
+    serve the previous region's stations (the reference's check at
+    ssrs/wtk/wtk.py:101-109 is inverted and misses this)."""
+    template = wtk_h5.replace(str(YEAR), '$YEAR')
+    wtk_a = WTK('LOCAL', (-106.6, 42.4, -105.4, 43.4), LAYERS,
+                str(tmp_path), local_template=template,
+                local_years=[YEAR])
+    df_a = wtk_a.get_locations()
+    # same out_dir, shifted + shrunk bounds
+    wtk_b = WTK('LOCAL', (-105.9, 42.9, -105.2, 43.2), LAYERS,
+                str(tmp_path), local_template=template,
+                local_years=[YEAR])
+    df_b = wtk_b.get_locations()
+    assert (df_b['Longitude'] > -106.0).all()
+    assert (df_b['Latitude'] > 42.8).all()
+    assert df_b.shape[0] < df_a.shape[0]
+    # warm re-read with unchanged bounds does not re-scan (mtime stable)
+    fpath = os.path.join(str(tmp_path), 'wtk_locations.csv')
+    mtime = os.path.getmtime(fpath)
+    wtk_b.get_locations()
+    assert os.path.getmtime(fpath) == mtime
+
+
 def test_wtk_download_and_cache(wtk_h5, tmp_path):
     wtk = _make_wtk(wtk_h5, tmp_path)
     dt = datetime(YEAR, 6, 17, 13)
