@@ -3,17 +3,15 @@ system — numerically identical to the reference path
 (ssrs/movmodel.py:86-128: SuperLU via scipy.sparse.linalg.spsolve), but
 assembled vectorized instead of with the reference's per-edge Python loop.
 
-Why this exists alongside the device multigrid: the reference's 1e-8
-harmonic-mean floor produces systems with condition numbers ~1e9-1e10
-(near-decoupled high-conductivity islands inside zero-updraft plateaus).
-float32 arithmetic — the only kind the TPU has — cannot represent the
-influence of the 1e-8 couplings on the island potential levels: the fully
-converged f32 fixed point differs from the f64 solution by O(100) out of
-1000 on such fields (measured in tests/test_potential.py). The device
-multigrid reaches the f32-representable solution; this path reproduces the
-reference's f64 answer exactly and is chosen by
-``Config.potential_solver='direct'`` (or 'auto' when precision parity
-matters). It runs once per (case, realization), off the critical path.
+Role: the f64 *oracle* for tests, and the ``Config.potential_solver=
+'direct'`` opt-in. The default ('auto') path is the on-device refined
+solver (``potential/lap.py``), which matches this oracle to ~1e-5
+relative even on the reference's worst-conditioned fields (the 1e-8
+harmonic-mean floor yields condition numbers ~1e9-1e10 on thresholded
+updrafts; see lap.py for how the f32 hardware still reaches the f64
+answer). The round-1 limitation — converged f32 answers off by O(100) out
+of 1000 on such fields — is retired; tests/test_potential.py validates
+the device solver against this oracle at small and >200k-node scale.
 """
 
 from __future__ import annotations

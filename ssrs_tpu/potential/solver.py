@@ -111,11 +111,11 @@ def solve_potential(conductivity: jax.Array, bmask: jax.Array,
                     maxiter: int = 0) -> Tuple[jax.Array, jax.Array]:
     """Solve for the directional potential on the full grid (device path).
 
-    Delegates to the multigrid V-cycle solver — plain Krylov (BiCGStab)
-    breaks down in float32 on thresholded-updraft conductivity whose edge
-    weights span 1e-8..1, while the V-cycle robustly reaches the
-    f32-representable fixed point. Returns
-    (potential float32 (nrow, ncol), residual-norm scalar).
+    Kept as the legacy row-normalized multigrid entry point (reaches the
+    f32-representable fixed point of ``I - P``). For f64-oracle-accurate
+    answers on hard conductivity fields use ``solve_potential_refined``
+    (potential/lap.py), which the Simulator's 'auto' policy selects.
+    Returns (potential float32 (nrow, ncol), residual-norm scalar).
     """
     from .multigrid import solve_potential_mg
     maxcycles = maxiter if maxiter > 0 else 200

@@ -321,28 +321,31 @@ class Simulator(PlottingMixin, Config):
     def _solve_potential(self, conductivity: np.ndarray) -> np.ndarray:
         solver = (self.potential_solver or 'auto').lower()
         if solver == 'auto':
-            # direct (host f64, reference-exact) is O(minutes) beyond
-            # ~200k nodes; the device multigrid solves those in <1 s at
-            # the f32 fidelity documented in potential/direct.py
-            nodes = self.gridsize[0] * self.gridsize[1]
-            try:
-                import scipy  # noqa: F401
-                solver = 'direct' if nodes <= 200_000 else 'mg'
-            except ImportError:
-                solver = 'mg'
-            if solver == 'mg' and self.print_verbose:
-                print(f'(potential: using device multigrid for '
-                      f'{nodes} nodes)')
+            # the refined device solver matches the f64 direct answer to
+            # <=1e-5 relative on hard fields (tests/test_potential.py),
+            # so 'auto' always runs on device; 'direct' remains as the
+            # host f64 opt-in
+            solver = 'refined'
         if solver in ('direct', 'dense'):
             from .potential.direct import solve_potential_direct
             return solve_potential_direct(conductivity,
                                           self.track_direction)
-        from .potential import solve_potential_for_direction
+        if solver in ('mg', 'multigrid'):
+            from .potential import solve_potential_for_direction
+            maxiter = self.potential_maxiter if self.potential_maxiter > 0 \
+                else 200
+            pot, resid = solve_potential_for_direction(
+                conductivity, self.track_direction,
+                tol=self.potential_tol, maxiter=maxiter)
+            return np.asarray(pot)
+        from .potential import solve_potential_refined
+        from .potential.boundary import boundary_masks
+        bmask, bvals = boundary_masks(self.track_direction,
+                                      tuple(self.gridsize))
         maxiter = self.potential_maxiter if self.potential_maxiter > 0 \
-            else 200
-        pot, resid = solve_potential_for_direction(
-            conductivity, self.track_direction,
-            tol=self.potential_tol, maxiter=maxiter)
+            else 60
+        pot, resid = solve_potential_refined(
+            conductivity, bmask, bvals, maxcycles=maxiter)
         return np.asarray(pot)
 
     def _get_id_string(self, case_id: str, real_id: Optional[int] = None):

@@ -1,13 +1,13 @@
 """Directional-potential tests: boundary conditions, stencil weights vs the
 reference assembly, the host float64 direct solver vs the oracle, and the
-device multigrid solver's accuracy envelope.
+device solvers.
 
-Note on precision (measured here, documented in
-ssrs_tpu/potential/direct.py): the reference's 1e-8 harmonic-mean floor
-yields condition numbers ~1e9-1e10 on thresholded-updraft fields, so the
-f32 device solution legitimately differs from the f64 one on
-high-contrast fields; the multigrid is validated against the oracle on
-moderate-contrast fields and for self-consistency on hard ones.
+The refined device solver (potential/lap.py: difference-form operator +
+Galerkin multigrid + GCR + double-single refinement + island deflation)
+matches the f64 oracle to ~1e-5 relative even on thresholded-updraft
+fields whose condition numbers are ~1e9-1e10 — validated here at small
+and >200k-node scale. The legacy row-normalized multigrid keeps its
+moderate-contrast accuracy envelope.
 """
 
 import numpy as np
@@ -16,7 +16,7 @@ import pytest
 from ssrs_tpu.potential import (boundary_masks, boundary_nodes,
                                 solve_potential, solve_potential_direct,
                                 solve_potential_for_direction,
-                                transition_planes)
+                                solve_potential_refined, transition_planes)
 
 from oracles import assemble_reference_system, solve_reference_potential
 
@@ -141,15 +141,40 @@ def test_mg_uniform_conductivity_gradient():
     assert (np.diff(col) < 0).all()
 
 
-def test_f32_limit_is_understood():
-    """Pin the measured phenomenon: on a hard field the converged f32
-    solution differs from f64 by more than f32 roundoff — this is the
-    documented conditioning limit, not a solver bug. If this test ever
-    fails because the difference became small, the docs in
-    potential/direct.py should be updated."""
+@pytest.mark.parametrize('dirn', [0., 45., 90.])
+def test_refined_device_solver_matches_oracle_hard(dirn):
+    """The refined device solver reproduces the f64 oracle on a hard
+    (thresholded-updraft-like, cond ~1e9) field — the regime where plain
+    f32 solvers mis-level conductivity islands by O(100) out of 1000
+    (round-1 limitation, now retired; see potential/lap.py)."""
     shape = (24, 30)
     cond = _conductivity_hard(shape, seed=1)
+    bmask, bvals = boundary_masks(dirn, shape)
+    want = solve_potential_direct(cond, dirn).astype(np.float64)
+    got, rrel = solve_potential_refined(cond, bmask, bvals)
+    assert np.abs(np.asarray(got, np.float64) - want).max() < 1e-2
+    assert float(rrel) < 1e-5
+
+
+def test_refined_device_solver_matches_oracle_at_scale():
+    """Same, at 460x460 = 211k nodes (> the 200k-node point where the
+    round-1 'auto' policy had to fall back to host scipy)."""
+    shape = (460, 460)
+    cond = _conductivity_hard(shape, seed=1)
+    bmask, bvals = boundary_masks(0., shape)
     want = solve_potential_direct(cond, 0.).astype(np.float64)
-    got, _ = solve_potential_for_direction(cond, 0., tol=1e-7, maxiter=300)
-    diff = np.abs(np.asarray(got) - want).max()
-    assert diff > 1.0  # genuinely limited by conditioning, documented
+    got, rrel = solve_potential_refined(cond, bmask, bvals)
+    err = np.abs(np.asarray(got, np.float64) - want).max()
+    assert err < 1.0, f'max abs err {err} out of 1000'
+    assert float(rrel) < 1e-5
+
+
+def test_refined_device_solver_moderate_and_uniform():
+    shape = (48, 52)
+    for cond in (_conductivity_moderate(shape, seed=2),
+                 np.ones(shape, np.float32),
+                 np.zeros(shape, np.float32)):
+        bmask, bvals = boundary_masks(0., shape)
+        want = solve_potential_direct(cond, 0.).astype(np.float64)
+        got, _ = solve_potential_refined(cond, bmask, bvals)
+        assert np.abs(np.asarray(got, np.float64) - want).max() < 1e-2
