@@ -99,6 +99,10 @@ class Config:
     # halves the dominant per-step gather cost for ~0.4% relative weight
     # quantization (the presence statistics absorb it — see bench.py)
     track_weight_precision: str = 'float32'
+    # LOCAL WTK source (offline fixtures): a .h5 path template containing
+    # '$YEAR' plus the years it covers; only read when wtk_source='LOCAL'
+    wtk_local_template: str = ''
+    wtk_local_years: Tuple[int, ...] = ()
 
     # class-level constant (not a dataclass field; matches reference where
     # turbine_mrkr_styles carries no annotation, ssrs/config.py:61)

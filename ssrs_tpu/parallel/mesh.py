@@ -50,6 +50,37 @@ def pad_to_multiple(starts: np.ndarray, multiple: int
     return np.ascontiguousarray(starts), valid
 
 
+def sharded_presence_fn(params: TrackParams, mesh: Mesh,
+                        chunk: int = 128, has_updraft: bool = True,
+                        has_potential: bool = True):
+    """Build the shard-mapped simulation callable over ``mesh``.
+
+    The returned function takes ``(starts, valid, key[, updraft
+    [, potential]])`` with the agent axis sharded and fields replicated,
+    and returns globally-summed ``(presence, steps)``. Exposed separately
+    from :func:`simulate_presence_sharded` so callers (weak-scaling
+    evidence in ``scripts/weak_scaling.py``, tests) can ``jax.jit(...)
+    .lower(...)`` it and assert the collective schedule — one presence
+    ``psum`` + one step-count ``pmax`` and nothing else.
+    """
+
+    def shard_body(starts_l, valid_l, key_r, *fields):
+        updraft_r = fields[0] if has_updraft else None
+        potential_r = fields[1] if has_potential else None
+        # distinct per-device stream, deterministic for a fixed mesh size
+        key_l = jax.random.fold_in(key_r, jax.lax.axis_index('agents'))
+        presence, steps = simulate_presence(
+            params, starts_l, key_l, updraft=updraft_r,
+            potential=potential_r, chunk=chunk, valid=valid_l)
+        return (jax.lax.psum(presence, 'agents'),
+                jax.lax.pmax(steps, 'agents'))
+
+    in_specs = [P('agents'), P('agents'), P()]
+    in_specs += [P(None, None)] * (int(has_updraft) + int(has_potential))
+    return jax.shard_map(shard_body, mesh=mesh, in_specs=tuple(in_specs),
+                         out_specs=(P(), P()))
+
+
 def simulate_presence_sharded(params: TrackParams,
                               start_rc: np.ndarray,
                               key: jax.Array,
@@ -66,38 +97,15 @@ def simulate_presence_sharded(params: TrackParams,
     n_dev = mesh.devices.size
     starts, valid = pad_to_multiple(np.asarray(start_rc, np.int32), n_dev)
 
-    def shard_body(starts_l, valid_l, key_r, updraft_r, potential_r):
-        # distinct per-device stream, deterministic for a fixed mesh size
-        key_l = jax.random.fold_in(key_r, jax.lax.axis_index('agents'))
-        presence, steps = simulate_presence(
-            params, starts_l, key_l, updraft=updraft_r,
-            potential=potential_r, chunk=chunk, valid=valid_l)
-        return (jax.lax.psum(presence, 'agents'),
-                jax.lax.pmax(steps, 'agents'))
-
-    if updraft is None:
-        def body2(s, v, k):
-            return shard_body(s, v, k, None, None)
-        mapped = jax.shard_map(
-            body2, mesh=mesh,
-            in_specs=(P('agents'), P('agents'), P()),
-            out_specs=(P(), P()))
-        return mapped(jnp.asarray(starts), jnp.asarray(valid), key)
-
-    if potential is None:
-        def body3(s, v, k, u):
-            return shard_body(s, v, k, u, None)
-        mapped = jax.shard_map(
-            body3, mesh=mesh,
-            in_specs=(P('agents'), P('agents'), P(), P(None, None)),
-            out_specs=(P(), P()))
-        return mapped(jnp.asarray(starts), jnp.asarray(valid), key,
-                      jnp.asarray(updraft))
-
-    mapped = jax.shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(P('agents'), P('agents'), P(), P(None, None),
-                  P(None, None)),
-        out_specs=(P(), P()))
-    return mapped(jnp.asarray(starts), jnp.asarray(valid), key,
-                  jnp.asarray(updraft), jnp.asarray(potential))
+    if potential is not None and updraft is None:
+        raise ValueError('potential requires updraft (the fluidflow '
+                         'weight table is built from both)')
+    mapped = sharded_presence_fn(params, mesh, chunk,
+                                 has_updraft=updraft is not None,
+                                 has_potential=potential is not None)
+    args = [jnp.asarray(starts), jnp.asarray(valid), key]
+    if updraft is not None:
+        args.append(jnp.asarray(updraft))
+    if potential is not None:
+        args.append(jnp.asarray(potential))
+    return mapped(*args)

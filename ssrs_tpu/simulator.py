@@ -138,9 +138,13 @@ class Simulator(PlottingMixin, Config):
         # mode dispatch (ssrs/simulator.py:117-133)
         if self.sim_mode.lower() != 'uniform':
             from .data import WTK
+            wtk_kw = {}
+            if self.wtk_source == 'LOCAL':
+                wtk_kw = dict(local_template=self.wtk_local_template,
+                              local_years=list(self.wtk_local_years))
             self.wtk = WTK(self.wtk_source, self.lonlat_bounds,
                            list(self.wtk_layers.values()),
-                           self.mode_data_dir)
+                           self.mode_data_dir, **wtk_kw)
             if self.sim_mode.lower() == 'seasonal':
                 self.dtimes = self.get_seasonal_datetimes()
             elif self.sim_mode.lower() == 'snapshot':

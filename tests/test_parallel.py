@@ -76,3 +76,35 @@ def test_sharded_fluidflow(rng):
     b = np.asarray(p_single) / np.asarray(p_single).sum()
     assert np.abs(a.sum(axis=1) - b.sum(axis=1)).sum() < 0.08
     assert np.abs(a.sum(axis=0) - b.sum(axis=0)).sum() < 0.08
+
+
+def test_collective_schedule_is_one_psum(rng):
+    """The entire sharded simulation must compile to exactly two
+    all-reduces (presence psum + steps pmax) and no other collective —
+    a per-step or per-chunk collective would show up as a count scaling
+    with nsteps (scripts/weak_scaling.py asserts the same at 1/2/4/8
+    devices)."""
+    from ssrs_tpu.parallel import sharded_presence_fn
+
+    nrow, ncol = GRID
+    updraft = np.ones(GRID, np.float32)
+    potential = (np.linspace(1000., 0., nrow)[:, None]
+                 * np.ones((1, ncol))).astype(np.float32)
+    n = 512
+    starts = np.stack([rng.integers(3, 6, n), rng.integers(20, 30, n)],
+                      axis=1).astype(np.int32)
+    starts, valid = pad_to_multiple(starts, 8)
+    fn = sharded_presence_fn(_params(), make_mesh(), chunk=16)
+    hlo = jax.jit(fn).lower(
+        jax.numpy.asarray(starts), jax.numpy.asarray(valid),
+        jax.random.key(0), jax.numpy.asarray(updraft),
+        jax.numpy.asarray(potential)).compile().as_text()
+
+    def op_defs(op):
+        return sum(1 for line in hlo.splitlines()
+                   if f' {op}(' in line and '=' in line.split(op)[0])
+
+    assert op_defs('all-reduce') == 2
+    for op in ('all-gather', 'all-to-all', 'collective-permute',
+               'reduce-scatter'):
+        assert op_defs(op) == 0, op
