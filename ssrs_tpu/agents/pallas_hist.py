@@ -56,6 +56,77 @@ def _hist_kernel(r_ref, c_ref, w_ref, out_ref, acc_ref, *, nrow_p, ncol_p):
         out_ref[:] = acc_ref[:].astype(jnp.int32)
 
 
+def _hist_kernel_nw(r_ref, c_ref, out_ref, acc_ref, *, nrow_p, ncol_p):
+    """Weightless variant: dead points carry row index -1, which matches
+    no one-hot column and contributes nothing. Inputs may be int16 (the
+    chunk-batched driver emits (chunk, N) int16 position planes to halve
+    the HBM round-trip); the cast happens in VMEM."""
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    r = r_ref[:].astype(jnp.int32)
+    c = c_ref[:].astype(jnp.int32)
+    tile = r.shape[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, nrow_p), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, ncol_p), 1)
+    oh_r = (row_iota == r[:, None]).astype(jnp.bfloat16)
+    oh_c = (col_iota == c[:, None]).astype(jnp.bfloat16)
+    # each tile's f32 matmul result is <= tile < 2^24 (exact); the
+    # running accumulation is int32, so the batched histogram is exact
+    # for ANY number of points per call
+    acc_ref[:] += jax.lax.dot_general(
+        oh_r, oh_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=('nrow', 'ncol', 'tile'))
+def presence_histogram_batch(rows: jax.Array, cols: jax.Array,
+                             nrow: int, ncol: int,
+                             tile: int = 2048) -> jax.Array:
+    """int32 2-D histogram of flat (rows, cols) int16/int32 index arrays.
+
+    Batched-call variant for the chunk-emitting step driver
+    (``simulate.py::_run_chunk_hist``): one call covers a whole chunk of
+    steps (chunk*N points), so the per-call latency that made the
+    per-step in-scan Pallas call a wash is amortized ~chunk-fold. Dead
+    points are encoded as row index -1 (no weights input). f32
+    accumulation is exact below 2^24 per cell, which a single chunk
+    cannot exceed.
+    """
+    n = rows.shape[0]
+    n_pad = _round_up(max(n, tile), tile)
+    nrow_p = _round_up(nrow, 128)
+    ncol_p = _round_up(ncol, 128)
+    if n_pad != n:
+        pad = n_pad - n
+        rows = jnp.concatenate([rows, jnp.full((pad,), -1, rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel_nw, nrow_p=nrow_p, ncol_p=ncol_p),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nrow_p, ncol_p), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nrow_p, ncol_p), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nrow_p, ncol_p), jnp.int32)],
+    )(rows, cols)
+    return out[:nrow, :ncol]
+
+
 @functools.partial(jax.jit, static_argnames=('nrow', 'ncol', 'tile'))
 def presence_histogram(rows: jax.Array, cols: jax.Array,
                        weights: jax.Array, nrow: int, ncol: int,

@@ -54,9 +54,13 @@ class TrackParams(NamedTuple):
     # end-to-end than XLA's serialized scatter-add), plain 'scatter' for
     # larger grids (one-hot bandwidth scales with nrow+ncol). 'pallas'
     # selects the VMEM-resident Pallas histogram kernel
-    # (agents/pallas_hist.py) — far higher standalone throughput but a
-    # wash inside the latency-chained scan; kept for batched/offline
-    # histogram work.
+    # (agents/pallas_hist.py) per step — far higher standalone throughput
+    # but a wash inside the latency-chained scan. 'chunk-hist' (the
+    # compacting driver only) removes presence from the step entirely:
+    # the scan emits int16 position planes and ONE batched Pallas
+    # histogram per chunk produces the counts — exact, and amortizes the
+    # per-call latency chunk-fold. 'none' = no presence in the step (the
+    # caller accumulates).
     presence_impl: str = 'auto'
 
 
@@ -145,6 +149,18 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
     deltas = jnp.asarray(NEIGHBOR_DELTAS)
     center0 = jnp.asarray(CENTER_ZERO)
     dirp_c0 = dirp * center0
+    # All per-move math runs in (9, N) layout: TPU vregs are
+    # (8 sublanes, 128 lanes), so a minor dimension of 9 uses 9/128 lanes
+    # (~7% VPU utilization) for every cascade/cumsum/compare op. With the
+    # move axis major and the agent axis minor the lanes pack fully —
+    # measured 2054 -> 1599 us/step at 100k agents on v5e
+    # (scripts/opt_experiments10.py); addition order per agent is
+    # unchanged, so sampling is bit-identical for the same uniforms.
+    table_T = table.T                       # (9, 9)
+    dirp_T = dirp[:, None]                  # (9, 1)
+    dirp_c0_T = dirp_c0[:, None]
+    center0_T = center0[:, None]
+    dr_tab, dc_tab = deltas[:, 0], deltas[:, 1]
 
     def step(state: SimState, u: Optional[jax.Array] = None) -> SimState:
         r, c = state.pos[:, 0], state.pos[:, 1]
@@ -159,51 +175,51 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
             (r, c))
 
         if params.memory_k > 0:
-            mask = center0[None, :] * jnp.prod(
-                jnp.take(table, state.mem, axis=0), axis=1)
+            mask = center0_T * jnp.take(table_T, state.mem[:, 0], axis=1)
+            for k in range(1, params.memory_k):
+                mask = mask * jnp.take(table_T, state.mem[:, k], axis=1)
         else:
             mask = None
 
         if base_flat is not None:
             idx = pr * ncol + pc
             base = base_flat.at[idx].get(
-                mode='promise_in_bounds').astype(jnp.float32)
+                mode='promise_in_bounds').T.astype(jnp.float32)  # (9, N)
         else:
-            base = jnp.broadcast_to(dirp_c0[None, :], (r.shape[0], 9))
+            base = jnp.broadcast_to(dirp_c0_T, (9, r.shape[0]))
 
         # fallback cascade (ssrs/movmodel.py:233-241); the NaN/clip/center
         # prologue is folded into the table by prepared_weights
         p = base * mask if mask is not None else base
         if mask is not None:
-            allz = jnp.sum(p, axis=1, keepdims=True) == 0.
-            p = jnp.where(allz, dirp_c0[None, :] * mask, p)
-        allz = jnp.sum(p, axis=1, keepdims=True) == 0.
-        p = jnp.where(allz, dirp[None, :], p)
+            allz = jnp.sum(p, axis=0, keepdims=True) == 0.
+            p = jnp.where(allz, dirp_c0_T * mask, p)
+        allz = jnp.sum(p, axis=0, keepdims=True) == 0.
+        p = jnp.where(allz, dirp_T, p)
         if params.nu != 1.0:
             # normalize by the row max before sharpening: proportionality
             # is preserved and the raw weights (up to ~1e4) can neither
             # overflow f32 for large nu nor underflow the whole row to an
             # all-zero cumsum (the reference powers an already-normalized
             # probability vector, ssrs/movmodel.py:242-243)
-            p = p / jnp.max(p, axis=1, keepdims=True)
+            p = p / jnp.max(p, axis=0, keepdims=True)
             p = jnp.power(p, params.nu)
 
         key = state.key
         if u is None:
             key, sub = jax.random.split(key)
-            u = jax.random.uniform(sub, (p.shape[0],), dtype=p.dtype)
+            u = jax.random.uniform(sub, (p.shape[1],), dtype=p.dtype)
         # force u > 0 so a zero-probability move (zero-width CDF interval
         # at index 0) is unreachable, matching np.random.choice which never
         # selects zero-probability entries (ssrs/movmodel.py:312)
         u = jnp.maximum(u, jnp.finfo(p.dtype).tiny)
-        cum = jnp.cumsum(p, axis=1)
-        mi = jnp.sum(cum < u[:, None] * cum[:, -1:],
-                     axis=1).astype(jnp.int32)
+        cum = jnp.cumsum(p, axis=0)
+        mi = jnp.sum(cum < u[None, :] * cum[-1:, :],
+                     axis=0).astype(jnp.int32)
         mi = jnp.minimum(mi, 8)
 
-        d = deltas[mi]
-        new_r = jnp.where(alive, pr + d[:, 0], r)
-        new_c = jnp.where(alive, pc + d[:, 1], c)
+        new_r = jnp.where(alive, pr + jnp.take(dr_tab, mi), r)
+        new_c = jnp.where(alive, pc + jnp.take(dc_tab, mi), c)
         new_pos = jnp.stack([new_r, new_c], axis=1)
 
         if params.memory_k > 0:
@@ -219,7 +235,11 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
             # matmul when calls pipeline, but inside the sequential scan
             # per-call latency dominates and end-to-end it's a wash
             impl = 'matmul' if (nrow + ncol) <= 4096 else 'scatter'
-        if impl == 'pallas':
+        if impl == 'none':
+            # presence handled outside the step (the chunk-batched
+            # histogram driver, _run_chunk_hist)
+            presence = state.presence
+        elif impl == 'pallas':
             from .pallas_hist import presence_histogram
             upd = presence_histogram(new_r, new_c,
                                      alive.astype(jnp.float32),
@@ -353,6 +373,44 @@ def _run_chunk(params: TrackParams, base_flat, dirp, table,
             state.step, jnp.sum(state.alive))
 
 
+@functools.partial(jax.jit, static_argnames=('params', 'chunk'))
+def _run_chunk_hist(params: TrackParams, base_flat, dirp, table,
+                    pos, mem, alive, key, presence, step0, chunk: int):
+    """Chunk runner with the presence histogram hoisted OUT of the scan.
+
+    The per-step presence update dominates the lockstep step (92% for
+    scatter; the one-hot MXU matmul still ~8x the rest; a per-step
+    in-scan Pallas call is latency-bound, measured a wash). Here the scan
+    emits only the post-move positions as (chunk, N) int16 planes (dead
+    agents -1) — the presence-free step measured 131 us vs 1525 us full —
+    and ONE Pallas histogram call per chunk turns the whole emission into
+    counts with everything VMEM-resident, amortizing the per-call latency
+    chunk-fold. Bit-identical to the in-scan scatter/matmul accumulation
+    (same points, same counts; verified in tests/test_pallas_hist.py and
+    tests/test_compaction.py).
+    """
+    step_fn = make_step_fn(params._replace(presence_impl='none'),
+                           base_flat, dirp, table)
+    state = SimState(pos=pos, mem=mem, alive=alive, key=key,
+                     presence=presence, step=step0)
+
+    def body(s, _):
+        new = step_fn(s)
+        r16 = jnp.where(new.alive, new.pos[:, 0], -1).astype(jnp.int16)
+        c16 = jnp.where(new.alive, new.pos[:, 1],
+                        jnp.zeros_like(new.pos[:, 1])).astype(jnp.int16)
+        return new, (r16, c16)
+
+    state, (rows, cols) = jax.lax.scan(body, state, None, length=chunk)
+    from .pallas_hist import presence_histogram_batch
+    nrow, ncol = params.grid_shape
+    upd = presence_histogram_batch(rows.reshape(-1), cols.reshape(-1),
+                                   nrow, ncol)
+    presence = state.presence + upd
+    return (state.pos, state.mem, state.alive, state.key, presence,
+            state.step, jnp.sum(state.alive))
+
+
 @functools.partial(jax.jit, static_argnames=('m',))
 def _compact(pos, mem, alive, m: int):
     """Pack alive agents to the front (stable) and truncate to bucket m."""
@@ -415,8 +473,15 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
     ids = jnp.arange(n, dtype=jnp.int32)
     step0 = state.step
 
-    # host-side per-agent position lists, seeded with the starts
-    traj = [[start_rc[i:i + 1]] for i in range(n)]
+    # host-side per-agent trajectory buffers, seeded with the starts:
+    # the C++ builder (ssrs_tpu/native) when a compiler is around,
+    # the pure-Python list-append loop otherwise (same semantics,
+    # asserted equal in tests/test_agents.py::test_native_trackbuilder)
+    from ..native import TrackBuilder, native_available
+    builder = TrackBuilder(start_rc.astype(np.int16)) \
+        if native_available() else None
+    if builder is None:
+        traj = [[start_rc[i:i + 1]] for i in range(n)]
     n_alive = n
     while int(step0) < params.nsteps and n_alive > 0:
         (pos, mem, alive, key_c, presence, step0, n_alive_dev,
@@ -427,16 +492,21 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
         ys_pos = np.asarray(ys_pos)          # (chunk, B, 2)
         ys_alive = np.asarray(ys_alive)      # (chunk, B)
         ids_h = np.asarray(ids)
-        for j, agent in enumerate(ids_h):
-            steps_alive = int(ys_alive[:, j].sum())
-            if steps_alive:
-                traj[agent].append(ys_pos[:steps_alive, j])
+        if builder is not None:
+            builder.append_chunk(ys_pos, ys_alive, ids_h)
+        else:
+            for j, agent in enumerate(ids_h):
+                steps_alive = int(ys_alive[:, j].sum())
+                if steps_alive:
+                    traj[agent].append(ys_pos[:steps_alive, j])
         cur = pos.shape[0]
         if n_alive > 0 and cur > min_bucket and n_alive < cur // 2:
             m = max(1 << (n_alive - 1).bit_length(), min_bucket)
             if m < cur:
                 pos, mem, alive, ids = _compact_ids(pos, mem, alive, ids,
                                                     m)
+    if builder is not None:
+        return presence, builder.export()
     tracks = [np.ascontiguousarray(
         np.concatenate(parts, axis=0).astype(np.int16))
         for parts in traj]
@@ -522,10 +592,12 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
                                         state.key, state.presence)
     step0 = state.step
     n_alive = int(jnp.sum(alive))
+    runner = (_run_chunk_hist if params.presence_impl == 'chunk-hist'
+              else _run_chunk)
     # the step cap inside the step function handles the final partial
     # chunk (agents past nsteps stop), so one fixed chunk size suffices
     while int(step0) < params.nsteps and n_alive > 0:
-        pos, mem, alive, key_c, presence, step0, n_alive_dev = _run_chunk(
+        pos, mem, alive, key_c, presence, step0, n_alive_dev = runner(
             params, base_flat, dirp, table, pos, mem, alive, key_c,
             presence, step0, chunk)
         n_alive = int(n_alive_dev)

@@ -45,3 +45,19 @@ def test_histogram_padding_agents_ignored(rng):
         jax.numpy.asarray(r), jax.numpy.asarray(c),
         jax.numpy.asarray(w), nrow, ncol, tile=512))
     assert out.sum() == n
+
+
+def test_histogram_batch_matches_numpy(rng):
+    """Weightless batched kernel: int16 inputs, dead points as row -1."""
+    from ssrs_tpu.agents.pallas_hist import presence_histogram_batch
+    n, nrow, ncol = 6000, 96, 130
+    r = rng.integers(0, nrow, n).astype(np.int16)
+    c = rng.integers(0, ncol, n).astype(np.int16)
+    dead = rng.random(n) < 0.3
+    r[dead] = -1
+    out = np.asarray(presence_histogram_batch(
+        jax.numpy.asarray(r), jax.numpy.asarray(c), nrow, ncol,
+        tile=1024))
+    want = np.zeros((nrow, ncol), np.int64)
+    np.add.at(want, (r[~dead].astype(int), c[~dead].astype(int)), 1)
+    np.testing.assert_array_equal(out, want)
