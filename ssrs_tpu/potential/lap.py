@@ -176,49 +176,51 @@ def _prolong_pc(e: jax.Array, fine_shape: Tuple[int, int]) -> jax.Array:
     return out[:fine_shape[0], :fine_shape[1]]
 
 
-def coarsen_labels(labels: np.ndarray, coarse_bmask: np.ndarray
-                   ) -> np.ndarray:
-    """Host-side island-label coarsening: a coarse cell inherits the
-    largest island label among its fine children (mixed island/plateau
-    blocks count as island — the island part dominates the couplings),
-    except where the coarse cell is Dirichlet. When distinct islands merge
-    into one cell at deep levels, the union is still a valid 1-D deflation
-    subspace for that level."""
-    lab = np.asarray(labels)
-    nrow, ncol = lab.shape
-    if nrow % 2 or ncol % 2:
-        lab = np.pad(lab, ((0, nrow % 2), (0, ncol % 2)))
-    lc = np.maximum(np.maximum(lab[::2, ::2], lab[1::2, ::2]),
-                    np.maximum(lab[::2, 1::2], lab[1::2, 1::2]))
-    lc[np.asarray(coarse_bmask, bool)] = 0
-    return lc.astype(np.int32)
+def coarsen_labels(labels: jax.Array, coarse_bmask: jax.Array
+                   ) -> jax.Array:
+    """Island-label coarsening: a coarse cell inherits the largest island
+    label among its fine children (mixed island/plateau blocks count as
+    island — the island part dominates the couplings), except where the
+    coarse cell is Dirichlet. When distinct islands merge into one cell at
+    deep levels, the union is still a valid 1-D deflation subspace for
+    that level."""
+    lab = _pad_even(jnp.asarray(labels, jnp.int32))
+    lc = jnp.maximum(jnp.maximum(lab[::2, ::2], lab[1::2, ::2]),
+                     jnp.maximum(lab[::2, 1::2], lab[1::2, 1::2]))
+    return jnp.where(jnp.asarray(coarse_bmask, bool), 0, lc)
 
 
 def build_lap_levels(planes: jax.Array, bmask: jax.Array,
-                     labels: np.ndarray = None, num_segments: int = 1,
+                     labels=None, num_segments: int = 1,
                      min_size: int = 4) -> List[LapLevel]:
     """Static level hierarchy (shapes fixed at trace time), with island
     labels and deflation scalars carried per level. Coarsens down to
     ``min_size`` so islands collapse toward single coarse cells — at the
     level where an island is one cell, the Galerkin operator's contrast
-    around it is gone and plain smoothing handles its neighborhood."""
+    around it is gone and plain smoothing handles its neighborhood.
+
+    Pure jnp (traceable): the whole hierarchy build runs inside the solve
+    jit — the original host-side build (eager dispatch + per-level numpy
+    ``island_zaz`` with device->host plane transfers) dominated warm-solve
+    wall-clock."""
     levels = []
     mask = jnp.asarray(bmask, bool)
     if labels is None:
-        labels = np.zeros(planes.shape[-2:], np.int32)
+        labels = jnp.zeros(planes.shape[-2:], jnp.int32)
+    labels = jnp.asarray(labels, jnp.int32)
     while True:
         diag = jnp.sum(planes, axis=0)
         dinv = jnp.where(diag > 0., 1. / jnp.where(diag > 0., diag, 1.), 0.)
         zaz = island_zaz(planes, labels, num_segments)
         levels.append(LapLevel(
             planes=planes, notb=(~mask).astype(jnp.float32), dinv=dinv,
-            labels=jnp.asarray(labels),
-            zaz_inv=jnp.asarray(1.0 / zaz, jnp.float32)))
+            labels=labels,
+            zaz_inv=(1.0 / zaz).astype(jnp.float32)))
         if min(planes.shape[-2:]) <= min_size:
             break
         planes = _galerkin_coarsen(planes)
         mask = _coarsen_bmask(mask)
-        labels = coarsen_labels(labels, np.asarray(mask))
+        labels = coarsen_labels(labels, mask)
     return levels
 
 
@@ -308,22 +310,26 @@ def island_labels(conductivity: np.ndarray, bmask: np.ndarray
     return out, nxt
 
 
-def island_zaz(planes: jax.Array, labels: np.ndarray,
-               num_segments: int) -> np.ndarray:
+def island_zaz(planes: jax.Array, labels: jax.Array,
+               num_segments: int) -> jax.Array:
     """z_I^T A z_I = total leak weight out of each island: the sum of
     W edges from island cells to cells with a different label. All terms
-    are positive and tiny, so plain f32 summation is accurate."""
-    w = np.asarray(planes, np.float64)
-    lab = np.asarray(labels)
+    are positive and tiny, so plain f32 summation is accurate. On device
+    (one masked segment_sum over the stacked cross-edge planes)."""
+    lab = jnp.asarray(labels, jnp.int32)
     nrow, ncol = lab.shape
-    labpad = np.pad(lab, 1, constant_values=-1)
-    zaz = np.zeros(num_segments, np.float64)
+    labpad = jnp.pad(lab, 1, constant_values=-1)
+    cross_w = []
     for k, (dr, dc) in enumerate(_DELTAS):
-        nb = labpad[dr + 1:dr + 1 + nrow, dc + 1:dc + 1 + ncol]
+        nb = jax.lax.slice(labpad, (dr + 1, dc + 1),
+                           (dr + 1 + nrow, dc + 1 + ncol))
         cross = (lab > 0) & (nb != lab)
-        np.add.at(zaz, lab[cross], w[k][cross])
-    zaz[0] = 1.0  # background: never used
-    return np.maximum(zaz, 1e-30)
+        cross_w.append(jnp.where(cross, planes[k], 0.))
+    total = sum(cross_w)
+    zaz = jax.ops.segment_sum(total.ravel(), lab.ravel(),
+                              num_segments=num_segments)
+    zaz = zaz.at[0].set(1.0)  # background: never used
+    return jnp.maximum(zaz, 1e-30)
 
 
 def _island_correction(u: DS, r_hi: jax.Array, labels: jax.Array,
@@ -406,13 +412,17 @@ def _gcr_solve(levels: List[LapLevel], rhs: jax.Array, maxiter,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('maxcycles', 'refine', 'tol'))
-def _solve_refined_jit(planes_and_levels, bmask, bvals,
+                   static_argnames=('maxcycles', 'refine', 'tol',
+                                    'num_segments'))
+def _solve_refined_jit(conductivity, bmask, bvals, fine_labels,
+                       num_segments: int,
                        tol: float, maxcycles: int, refine: int):
-    levels = planes_and_levels
-    top = levels[0]
     bmask = jnp.asarray(bmask, bool)
     bvals = jnp.asarray(bvals, jnp.float32)
+    planes = weight_planes(conductivity)
+    levels = build_lap_levels(planes, bmask, labels=fine_labels,
+                              num_segments=num_segments)
+    top = levels[0]
     notb = top.notb
     labels, zaz_inv = top.labels, top.zaz_inv
     num = zaz_inv.shape[0]
@@ -481,16 +491,18 @@ def solve_potential_refined(conductivity, bmask, bvals, tol: float = 1e-7,
                             maxcycles: int = 60, refine: int = 30):
     """Solve the reference directional-potential system on device to f64-
     oracle accuracy (validated in tests/test_potential.py). Returns
-    (potential float32 (nrow, ncol), relative residual scalar)."""
-    planes = weight_planes(conductivity)
+    (potential float32 (nrow, ncol), relative residual scalar).
+
+    Host work per solve is ONE ``scipy.ndimage.label`` pass; the weight
+    planes, the whole Galerkin/deflation hierarchy, and the solve run in
+    a single jit (compiled once per (shape, island-bucket) pair)."""
     bmask_np = np.asarray(bmask, bool)
     labels_np, k = island_labels(np.asarray(conductivity), bmask_np)
     # quantize the segment count so recompiles are rare across fields
     num = 64
     while num < k + 1:
         num *= 2
-    levels = build_lap_levels(planes, jnp.asarray(bmask_np),
-                              labels=labels_np, num_segments=num)
     return _solve_refined_jit(
-        tuple(levels), jnp.asarray(bmask_np),
-        jnp.asarray(bvals, jnp.float32), tol, maxcycles, refine)
+        jnp.asarray(conductivity, jnp.float32), jnp.asarray(bmask_np),
+        jnp.asarray(bvals, jnp.float32), jnp.asarray(labels_np), num,
+        tol, maxcycles, refine)

@@ -163,3 +163,40 @@ def test_memory_restriction_reduces_backtracking(rng):
         reversals += rev.sum()
         moves += max(len(d) - 1, 0)
     assert reversals / max(moves, 1) < 0.01
+
+
+def test_native_trackbuilder_matches_python_loop(rng, monkeypatch):
+    """The C++ trajectory builder (ssrs_tpu/native) must reproduce the
+    pure-Python list-append reconstruction exactly — same device
+    emissions (same key), so the track lists must be identical arrays."""
+    import ssrs_tpu.native as native
+    from ssrs_tpu.agents import simulate_tracks_recorded
+
+    if not native.native_available():
+        pytest.skip('no C++ toolchain available')
+
+    nrow, ncol = 40, 48
+    params = TrackParams(grid_shape=(nrow, ncol), move_dirn=0., nu=1.,
+                         memory_k=1, burnin=4, nsteps=150)
+    n = 300
+    starts = np.stack([rng.integers(3, 6, n), rng.integers(10, 38, n)],
+                      axis=1).astype(np.int32)
+    y = np.linspace(0, np.pi, nrow)[:, None]
+    x = np.linspace(0, 2 * np.pi, ncol)[None, :]
+    updraft = (1.0 + 0.8 * np.sin(x) * np.sin(y)).astype(np.float32)
+    potential = (np.linspace(1000., 0., nrow)[:, None]
+                 * np.ones((1, ncol))).astype(np.float32)
+
+    p_nat, tracks_nat = simulate_tracks_recorded(
+        params, starts, jax.random.key(2), updraft=updraft,
+        potential=potential, chunk=64, min_bucket=64)
+    monkeypatch.setattr(native, 'native_available', lambda: False)
+    p_py, tracks_py = simulate_tracks_recorded(
+        params, starts, jax.random.key(2), updraft=updraft,
+        potential=potential, chunk=64, min_bucket=64)
+
+    np.testing.assert_array_equal(np.asarray(p_nat), np.asarray(p_py))
+    assert len(tracks_nat) == len(tracks_py) == n
+    for a, b in zip(tracks_nat, tracks_py):
+        assert a.dtype == np.int16 and a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
