@@ -1,4 +1,4 @@
-"""Scaling probe for the lap solver: per-V-cycle wall-clock vs grid size
+"""Full-solve wall-clock probe (derived from exp_lap_scale) for the lap solver: per-V-cycle wall-clock vs grid size
 (up to 16.8M cells) and per-GCR-iteration convergence rate on hard
 fields. Separates 'cycles are slow' from 'too many cycles'. Also times
 the full solve_potential_refined wall-clock (host build + device solve).
@@ -113,9 +113,7 @@ def full_solve(shape):
 
 def main():
     print(f'device: {jax.devices()[0]}', flush=True)
-    for shape in ((460, 460), (1000, 1200), (2048, 2048), (4096, 4096)):
-        probe(shape)
-    for shape in ((460, 460), (2048, 2048)):
+    for shape in ((460, 460), (2048, 2048), (4096, 4096)):
         full_solve(shape)
 
 

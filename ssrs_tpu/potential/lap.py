@@ -26,8 +26,7 @@ This module removes the disease structurally instead of chasing digits:
    to the Dirichlet perimeter are a near-null subspace (eigenvalue ~
    leak/O(1)); a per-island subspace correction
    ``u += z_I (z_I^T r)/(z_I^T A z_I)`` fixes their levels in one shot per
-   refinement pass. Labels come from one host ``scipy.ndimage.label`` per
-   solve; on device it is one ``segment_sum``.
+   refinement pass.
 4. **Galerkin coarse grids.** With piecewise-constant prolongation and
    block-sum restriction, the Galerkin coarse operator of a difference-form
    stencil is again a difference-form stencil whose coarse edge weights are
@@ -35,6 +34,17 @@ This module removes the disease structurally instead of chasing digits:
    contrast survives coarsening exactly (the round-1 rediscretization
    blurred zero plateaus into nonzero coarse conductivity, which is where
    the 0.86/cycle rate came from).
+
+TPU numerics note (measured at 4096^2, scripts/exp_lap_micro.py /
+exp_deflate.py / exp_rp.py): XLA lowers ``jax.ops.segment_sum`` and
+``c[labels]`` to per-element serial scatters/gathers (~7 ns/element —
+290/145 ms per call at 16.8M cells), and stride-2 slices shuffle the
+128-lane minor axis (~200 ms). Every per-island reduction here therefore
+goes through a *tiled label dictionary*: islands are spatially local, so
+a 32x32 tile touches only a few distinct labels; per-island sums become a
+batched one-hot matmul (MXU, streaming) over per-tile local slots plus a
+small second stage over active slots only, and transfer operators are
+``reduce_window`` / selector-matrix matmuls.
 
 Reference semantics: ``MovModel.solve_sparse_linear_system``
 (ssrs/movmodel.py:86-128), edge weights ``harmonic_mean/fac`` with the
@@ -44,7 +54,7 @@ east-column fac quirk (see ``solver.py``).
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +67,8 @@ from .solver import _DIRS, _fac_plane, _shift
 _DELTAS = [(int(NEIGHBOR_DELTAS[m, 0]), int(NEIGHBOR_DELTAS[m, 1]))
            for m in _DIRS]
 _DELTA_TO_K = {d: k for k, d in enumerate(_DELTAS)}
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def weight_planes(conductivity: jax.Array) -> jax.Array:
@@ -82,20 +94,9 @@ def weight_planes(conductivity: jax.Array) -> jax.Array:
     return jnp.stack(planes)
 
 
-class LapLevel(NamedTuple):
-    planes: jax.Array   # (8, nrow, ncol) difference-form edge weights
-    notb: jax.Array     # (nrow, ncol) 1.0 where NOT Dirichlet
-    dinv: jax.Array     # (nrow, ncol) 1/sum_d W_d (0 where D == 0)
-    labels: jax.Array   # (nrow, ncol) int32 island labels at this level
-    zaz_inv: jax.Array  # (num,) 1/(z_I^T A_level z_I); index 0 unused
-
-    @property
-    def shape(self):
-        return self.planes.shape[-2:]
-
-
 def _apply_lap(planes: jax.Array, u: jax.Array) -> jax.Array:
-    """A u = sum_d W_d * (u - shift_d(u)). One pad, eight static slices."""
+    """A u = sum_d W_d * (u - shift_d(u)). One pad, eight static slices.
+    Bandwidth-bound on TPU (~0.9 ms at 16.8M cells)."""
     nrow, ncol = u.shape
     upad = jnp.pad(u, 1)
     acc = jnp.zeros_like(u)
@@ -133,94 +134,321 @@ def _pad_even(x: jax.Array, fill=0.) -> jax.Array:
     return x
 
 
-def _galerkin_coarsen(planes: jax.Array) -> jax.Array:
-    """Coarse difference-form planes: coarse edge (I -> J) weight is the
-    sum of fine edges from block I into block J (RAP with piecewise-
-    constant prolongation / block-sum restriction). Fine edges internal to
-    a block vanish — they are invisible to block-constant functions."""
-    wp = _pad_even(planes)
-    m2, n2 = wp.shape[-2:]
-    mc, nc = m2 // 2, n2 // 2
-    coarse = [jnp.zeros((mc, nc), wp.dtype) for _ in range(8)]
+def _galerkin_kernel() -> np.ndarray:
+    """(8, 8, 2, 2) 0/1 kernel encoding the edge-aggregation map: output
+    channel kc accumulates fine plane k at block offset (i, j) whenever a
+    fine edge from offset (i, j) in direction k crosses into coarse
+    neighbor kc. Built once at import time."""
+    ker = np.zeros((8, 8, 2, 2), np.float32)
     for k, (dr, dc) in enumerate(_DELTAS):
         for i in (0, 1):
             for j in (0, 1):
                 di, dj = (i + dr) // 2, (j + dc) // 2
                 if (di, dj) == (0, 0):
                     continue  # internal fine edge
-                kc = _DELTA_TO_K[(di, dj)]
-                coarse[kc] = coarse[kc] + wp[k][i::2, j::2]
-    return jnp.stack(coarse)
+                ker[_DELTA_TO_K[(di, dj)], k, i, j] = 1.0
+    return ker
+
+
+_GALERKIN_KER = _galerkin_kernel()
+_CONV_DN = ('NCHW', 'OIHW', 'NCHW')
+
+
+def _galerkin_coarsen(planes: jax.Array) -> jax.Array:
+    """Coarse difference-form planes: coarse edge (I -> J) weight is the
+    sum of fine edges from block I into block J (RAP with piecewise-
+    constant prolongation / block-sum restriction). Fine edges internal to
+    a block vanish — they are invisible to block-constant functions.
+
+    One 8->8-channel 2x2 stride-2 convolution; build-time only."""
+    wp = _pad_even(planes)
+    out = jax.lax.conv_general_dilated(
+        wp[None], jnp.asarray(_GALERKIN_KER), window_strides=(2, 2),
+        padding='VALID', dimension_numbers=_CONV_DN,
+        precision=_HI)
+    return out[0]
 
 
 def _coarsen_bmask(bmask: jax.Array) -> jax.Array:
     """Coarse cell is Dirichlet if any fine cell in its block is (the
     coarse correction must vanish there)."""
-    bp = _pad_even(bmask.astype(jnp.float32))
-    return (bp[::2, ::2] + bp[1::2, ::2] + bp[::2, 1::2]
-            + bp[1::2, 1::2]) > 0.
+    return _restrict(bmask.astype(jnp.float32)) > 0.
 
 
 def _restrict(r: jax.Array) -> jax.Array:
     """Block-sum restriction (adjoint of piecewise-constant
-    prolongation)."""
+    prolongation): 2x2/2 reduce_window — measured at memcpy speed, vs
+    ~200 ms for strided slices at 16.8M cells."""
     rp = _pad_even(r)
-    return rp[::2, ::2] + rp[1::2, ::2] + rp[::2, 1::2] + rp[1::2, 1::2]
+    return jax.lax.reduce_window(rp, 0., jax.lax.add, (2, 2), (2, 2),
+                                 'VALID')
+
+
+def _sel2(mc: int, m: int, dtype) -> jax.Array:
+    """(mc, m) 0/1 selector: row i covers fine columns 2i, 2i+1."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (mc, m), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (mc, m), 1)
+    return (j // 2 == i).astype(dtype)
 
 
 def _prolong_pc(e: jax.Array, fine_shape: Tuple[int, int]) -> jax.Array:
-    """Piecewise-constant prolongation, cropped to the fine shape."""
+    """Piecewise-constant prolongation, cropped to the fine shape, as two
+    selector-matrix matmuls (pure MXU; the broadcast/reshape formulation
+    interleaves the minor axis and measured ~16 ms at 16.8M cells)."""
     m, n = e.shape
-    out = jnp.broadcast_to(e[:, None, :, None], (m, 2, n, 2))
-    out = out.reshape(2 * m, 2 * n)
+    up_r = _sel2(m, 2 * m, e.dtype).T
+    up_c = _sel2(n, 2 * n, e.dtype)
+    out = jnp.matmul(jnp.matmul(up_r, e, precision=_HI), up_c,
+                     precision=_HI)
     return out[:fine_shape[0], :fine_shape[1]]
 
 
-def coarsen_labels(labels: jax.Array, coarse_bmask: jax.Array
-                   ) -> jax.Array:
-    """Island-label coarsening: a coarse cell inherits the largest island
-    label among its fine children (mixed island/plateau blocks count as
-    island — the island part dominates the couplings), except where the
-    coarse cell is Dirichlet. When distinct islands merge into one cell at
-    deep levels, the union is still a valid 1-D deflation subspace for
-    that level."""
-    lab = _pad_even(jnp.asarray(labels, jnp.int32))
-    lc = jnp.maximum(jnp.maximum(lab[::2, ::2], lab[1::2, ::2]),
-                     jnp.maximum(lab[::2, 1::2], lab[1::2, 1::2]))
-    return jnp.where(jnp.asarray(coarse_bmask, bool), 0, lc)
+# ---- tiled island-label dictionaries ---------------------------------------
+#
+# Per-island reductions (deflation, zaz, refinement island updates) use a
+# per-level tile structure built ONCE per solve on the host:
+#   - the grid is cut into 32x32 tiles (padded); each tile has a local
+#     dictionary of the distinct labels it touches (slot 0 is always
+#     background 0);
+#   - ``lidx`` maps each cell to its tile-local slot; a one-hot over slots
+#     (materialized per solve on device, bf16) turns per-slot sums and
+#     broadcasts into batched matmuls that stream at HBM bandwidth;
+#   - a compacted list of *active* slots (``sidx``/``sisland``) routes the
+#     tiny per-slot partials to/from global island ids with S-sized
+#     gathers/scatters (S ~ sum of per-tile label counts << cells).
+
+_TILE = 32
+
+
+class TileSeg(NamedTuple):
+    """Host-built per-level tile structure (device arrays)."""
+    lidx: jax.Array     # (T, C) int16: tile-local slot of each cell
+    slots: jax.Array    # (T, L) int32: global label per slot (0 = none)
+    sidx: jax.Array     # (S,) int32: flat t*L+l of active slots (0-pad)
+    sisland: jax.Array  # (S,) int32: island id per active slot (0-pad)
+    labels: jax.Array   # (nrow, ncol) int32 dense labels (zaz build only)
+
+
+def _tiled_dims(shape: Tuple[int, int]) -> Tuple[int, int]:
+    return (-(-shape[0] // _TILE) * _TILE, -(-shape[1] // _TILE) * _TILE)
+
+
+def _to_tiles(x: jax.Array) -> jax.Array:
+    """(m, n) -> (T, C) tile-major layout (zero-padded); measured ~0.25 ms
+    round trip at 16.8M cells (contiguous 32-lane groups, no shuffles)."""
+    m, n = x.shape
+    mp, npad = _tiled_dims((m, n))
+    if (mp, npad) != (m, n):
+        x = jnp.pad(x, ((0, mp - m), (0, npad - n)))
+    tr, tc = mp // _TILE, npad // _TILE
+    x = x.reshape(tr, _TILE, tc, _TILE).transpose(0, 2, 1, 3)
+    return x.reshape(tr * tc, _TILE * _TILE)
+
+
+def _from_tiles(xt: jax.Array, shape: Tuple[int, int]) -> jax.Array:
+    mp, npad = _tiled_dims(shape)
+    tr, tc = mp // _TILE, npad // _TILE
+    x = xt.reshape(tr, tc, _TILE, _TILE).transpose(0, 2, 1, 3)
+    return x.reshape(mp, npad)[:shape[0], :shape[1]]
+
+
+def _onehot_slots(lidx: jax.Array, L: int) -> jax.Array:
+    """(T, C, L) f32 one-hot of tile-local slots.
+
+    f32 + HIGHEST-precision einsums, NOT bf16: deflation divides the
+    per-island residual sum by zaz ~ 1e-8, amplifying any sum error by
+    ~1e8 — bf16 truncation (even a 2-pass hi/lo split) visibly degraded
+    both the cycle rate and the final residual on hardware (measured:
+    rrel 3e-4 vs 1e-5, stationary rates bouncing above 1). The einsums
+    are bandwidth-bound, so f32 costs ~2x bf16 bytes and nothing more."""
+    return (lidx[..., None] ==
+            jnp.arange(L, dtype=lidx.dtype)).astype(jnp.float32)
+
+
+def _tile_partials(x: jax.Array, onehot: jax.Array) -> jax.Array:
+    """(T, L) per-tile per-slot sums of x (f32-exact accumulation)."""
+    return jnp.einsum('tc,tcl->tl', _to_tiles(x), onehot, precision=_HI)
+
+
+def _tile_segsum(x: jax.Array, ts_onehot: jax.Array, sidx: jax.Array,
+                 sisland: jax.Array, num: int) -> jax.Array:
+    """Per-island sums of x: batched one-hot matmul + S-sized routing."""
+    part = _tile_partials(x, ts_onehot)
+    vals = part.reshape(-1)[sidx]
+    return jax.ops.segment_sum(vals, sisland, num_segments=num)
+
+
+def _tile_broadcast(c: jax.Array, ts_onehot: jax.Array, sidx: jax.Array,
+                    sisland: jax.Array,
+                    shape: Tuple[int, int]) -> jax.Array:
+    """Per-cell image of per-island values c (c[0] must be 0): S-sized
+    routing into per-tile slots + transposed one-hot matmul."""
+    T, C, L = ts_onehot.shape
+    cvals = c[sisland]
+    cl = jnp.zeros((T * L,), c.dtype).at[sidx].set(cvals).reshape(T, L)
+    back = jnp.einsum('tl,tcl->tc', cl, ts_onehot, precision=_HI)
+    return _from_tiles(back, shape)
+
+
+def _host_coarsen_labels(labels: np.ndarray, bmask: np.ndarray
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host replica of the device level coarsening: coarse Dirichlet =
+    any fine Dirichlet in the 2x2 block; coarse label = max fine label,
+    zeroed on coarse Dirichlet cells. When distinct islands merge into one
+    cell at deep levels, the union is still a valid 1-D deflation subspace
+    for that level."""
+    m, n = labels.shape
+    mp, npad = m + (m % 2), n + (n % 2)
+    lab = np.zeros((mp, npad), labels.dtype)
+    lab[:m, :n] = labels
+    bm = np.zeros((mp, npad), bool)
+    bm[:m, :n] = bmask
+    bm_c = (bm[::2, ::2] | bm[1::2, ::2] | bm[::2, 1::2] | bm[1::2, 1::2])
+    lab_c = np.maximum(np.maximum(lab[::2, ::2], lab[1::2, ::2]),
+                       np.maximum(lab[::2, 1::2], lab[1::2, 1::2]))
+    lab_c[bm_c] = 0
+    return lab_c, bm_c
+
+
+def _build_tile_level(labels: np.ndarray):
+    """Vectorized host construction of one level's tile dictionary.
+    Returns (lidx (T, C) int16, slots (T, L) int32, sidx (S,), sisland
+    (S,)) as numpy; a virtual background entry guarantees slot 0 == label
+    0 in every tile, so zero-padded ``sidx`` entries route harmlessly to
+    island 0."""
+    m, n = labels.shape
+    mp, npad = _tiled_dims((m, n))
+    lt = np.zeros((mp, npad), np.int32)
+    lt[:m, :n] = labels
+    tr, tc = mp // _TILE, npad // _TILE
+    lt = lt.reshape(tr, _TILE, tc, _TILE).transpose(0, 2, 1, 3)
+    lt = lt.reshape(tr * tc, _TILE * _TILE)
+    T, C = lt.shape
+    aug = np.concatenate([np.zeros((T, 1), np.int32), lt], axis=1)
+    # np.sort (radix, ~100x argsort) + one global searchsorted for the
+    # cell->slot inverse: the argsort/put_along_axis formulation cost
+    # ~4.4 s at 16.8M cells, this one ~1 s.
+    st = np.sort(aug, axis=1)
+    new = np.ones((T, C + 1), bool)
+    new[:, 1:] = st[:, 1:] != st[:, :-1]
+    slot_sorted = np.cumsum(new, axis=1, dtype=np.int32) - 1
+    L = 8
+    while L < int(slot_sorted[:, -1].max()) + 1:
+        L *= 2
+    # per-tile sorted dictionaries, padded with a sentinel above any label
+    tidx = np.broadcast_to(np.arange(T)[:, None], st.shape)
+    sent = np.int64(1) << 31
+    dpad = np.full((T, L), sent, np.int64)
+    dpad[tidx[new], slot_sorted[new]] = st[new]
+    slots = np.where(dpad >= sent, 0, dpad).astype(np.int32)
+    # cell -> slot: row-offset keys make one flat sorted array of all
+    # tile dictionaries; searchsorted(left) returns t*L + slot exactly
+    stride = np.int64(1) << 32
+    offs = np.arange(T, dtype=np.int64)[:, None] * stride
+    big = (dpad + offs).ravel()
+    pos = np.searchsorted(big, (lt.astype(np.int64) + offs).ravel())
+    lidx = (pos.reshape(T, C) -
+            np.arange(T, dtype=np.int64)[:, None] * L).astype(np.int16)
+    flat = slots.ravel()
+    sidx = np.nonzero(flat)[0].astype(np.int32)
+    sisland = flat[sidx].astype(np.int32)
+    S = 64
+    while S < len(sidx):
+        S *= 2
+    pad = S - len(sidx)
+    sidx = np.pad(sidx, (0, pad))
+    sisland = np.pad(sisland, (0, pad))
+    return lidx, slots, sidx, sisland
+
+
+def _num_levels(shape: Tuple[int, int], min_size: int = 4) -> int:
+    n = 1
+    while min(shape) > min_size:
+        shape = ((shape[0] + 1) // 2, (shape[1] + 1) // 2)
+        n += 1
+    return n
+
+
+def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
+                         min_size: int = 4) -> List[TileSeg]:
+    """Host: per-level tile dictionaries for the whole V-cycle hierarchy
+    (one ``island_labels`` + one pass of numpy per solve)."""
+    out = []
+    lab = np.asarray(labels, np.int32)
+    bm = np.asarray(bmask, bool)
+    while True:
+        lidx, slots, sidx, sisland = _build_tile_level(lab)
+        out.append(TileSeg(
+            lidx=jnp.asarray(lidx), slots=jnp.asarray(slots),
+            sidx=jnp.asarray(sidx), sisland=jnp.asarray(sisland),
+            labels=jnp.asarray(lab)))
+        if min(lab.shape) <= min_size:
+            break
+        lab, bm = _host_coarsen_labels(lab, bm)
+    return out
+
+
+# ---- level hierarchy --------------------------------------------------------
+
+
+class LapLevel(NamedTuple):
+    planes: jax.Array   # (8, nrow, ncol) difference-form edge weights
+    notb: jax.Array     # (nrow, ncol) 1.0 where NOT Dirichlet
+    dinv: jax.Array     # (nrow, ncol) 1/sum_d W_d (0 where D == 0)
+    onehot: jax.Array   # (T, C, L) bf16 tile-slot one-hot
+    sidx: jax.Array     # (S,) active-slot flat indices
+    sisland: jax.Array  # (S,) island id per active slot
+    zaz_inv: jax.Array  # (num,) 1/(z_I^T A z_I); index 0 unused
+
+    @property
+    def shape(self):
+        return self.planes.shape[-2:]
+
+
+def island_zaz(planes: jax.Array, labels: jax.Array, onehot: jax.Array,
+               sidx: jax.Array, sisland: jax.Array,
+               num_segments: int) -> jax.Array:
+    """z_I^T A z_I = total leak weight out of each island: the sum of
+    W edges from island cells to cells with a different label (one tiled
+    segsum over the summed cross-edge planes)."""
+    lab = jnp.asarray(labels, jnp.int32)
+    nrow, ncol = lab.shape
+    labpad = jnp.pad(lab, 1, constant_values=-1)
+    total = jnp.zeros(lab.shape, jnp.float32)
+    for k, (dr, dc) in enumerate(_DELTAS):
+        nb = jax.lax.slice(labpad, (dr + 1, dc + 1),
+                           (dr + 1 + nrow, dc + 1 + ncol))
+        cross = (lab > 0) & (nb != lab)
+        total = total + jnp.where(cross, planes[k], 0.)
+    zaz = _tile_segsum(total, onehot, sidx, sisland, num_segments)
+    zaz = zaz.at[0].set(1.0)  # background: never used
+    return jnp.maximum(zaz, 1e-30)
 
 
 def build_lap_levels(planes: jax.Array, bmask: jax.Array,
-                     labels=None, num_segments: int = 1,
-                     min_size: int = 4) -> List[LapLevel]:
-    """Static level hierarchy (shapes fixed at trace time), with island
-    labels and deflation scalars carried per level. Coarsens down to
-    ``min_size`` so islands collapse toward single coarse cells — at the
-    level where an island is one cell, the Galerkin operator's contrast
-    around it is gone and plain smoothing handles its neighborhood.
-
-    Pure jnp (traceable): the whole hierarchy build runs inside the solve
-    jit — the original host-side build (eager dispatch + per-level numpy
-    ``island_zaz`` with device->host plane transfers) dominated warm-solve
-    wall-clock."""
+                     tiles: Sequence[TileSeg],
+                     num_segments: int) -> List[LapLevel]:
+    """Static level hierarchy (shapes fixed at trace time); the number of
+    levels is ``len(tiles)`` (host-computed with the same min-size rule).
+    Pure jnp apart from the host-prepared tile structures: the whole
+    hierarchy build runs inside the solve jit."""
     levels = []
     mask = jnp.asarray(bmask, bool)
-    if labels is None:
-        labels = jnp.zeros(planes.shape[-2:], jnp.int32)
-    labels = jnp.asarray(labels, jnp.int32)
-    while True:
+    for i, ts in enumerate(tiles):
+        assert planes.shape[-2:] == ts.labels.shape, \
+            (planes.shape, ts.labels.shape)
+        onehot = _onehot_slots(ts.lidx, ts.slots.shape[1])
         diag = jnp.sum(planes, axis=0)
         dinv = jnp.where(diag > 0., 1. / jnp.where(diag > 0., diag, 1.), 0.)
-        zaz = island_zaz(planes, labels, num_segments)
+        zaz = island_zaz(planes, ts.labels, onehot, ts.sidx, ts.sisland,
+                         num_segments)
         levels.append(LapLevel(
             planes=planes, notb=(~mask).astype(jnp.float32), dinv=dinv,
-            labels=labels,
+            onehot=onehot, sidx=ts.sidx, sisland=ts.sisland,
             zaz_inv=(1.0 / zaz).astype(jnp.float32)))
-        if min(planes.shape[-2:]) <= min_size:
-            break
-        planes = _galerkin_coarsen(planes)
-        mask = _coarsen_bmask(mask)
-        labels = coarsen_labels(labels, mask)
+        if i + 1 < len(tiles):
+            planes = _galerkin_coarsen(planes)
+            mask = _coarsen_bmask(mask)
     return levels
 
 
@@ -235,17 +463,19 @@ def _smooth(level: LapLevel, u: jax.Array, rhs: jax.Array, omega: float,
 
 def _deflate(level: LapLevel, u: jax.Array, rhs: jax.Array) -> jax.Array:
     """Island-subspace correction at this level:
-    ``u += z_I (z_I^T r)/(z_I^T A z_I)`` for every island, one segment_sum.
-    Applied at EVERY level of the cycle: island-level modes whose
-    wavelength spans many islands are only multigrid-convergent if the
-    coarse grids can move island levels too (measured: fine-level-only
-    deflation leaves a ~0.99/cycle stall on 100+-island fields)."""
+    ``u += z_I (z_I^T r)/(z_I^T A z_I)`` for every island. Applied at
+    EVERY level of the cycle: island-level modes whose wavelength spans
+    many islands are only multigrid-convergent if the coarse grids can
+    move island levels too (measured: fine-level-only deflation leaves a
+    ~0.99/cycle stall on 100+-island fields). bf16 tile matmuls: inside
+    the preconditioner, 0.4% relative is irrelevant."""
     r = (rhs - _apply_lap(level.planes, u)) * level.notb
     num = level.zaz_inv.shape[0]
-    rsum = jax.ops.segment_sum(r.ravel(), level.labels.ravel(),
-                               num_segments=num)
+    rsum = _tile_segsum(r, level.onehot, level.sidx, level.sisland, num)
     c = (rsum * level.zaz_inv).at[0].set(0.)
-    return u + c[level.labels] * level.notb
+    upd = _tile_broadcast(c, level.onehot, level.sidx, level.sisland,
+                          level.shape)
+    return u + upd * level.notb
 
 
 def vcycle(levels: List[LapLevel], rhs: jax.Array, u0: jax.Array,
@@ -278,7 +508,7 @@ def vcycle(levels: List[LapLevel], rhs: jax.Array, u0: jax.Array,
     return cycle(0, u0, rhs)
 
 
-# ---- island deflation -------------------------------------------------------
+# ---- island labeling (host, once per solve) ---------------------------------
 
 
 def island_labels(conductivity: np.ndarray, bmask: np.ndarray
@@ -297,52 +527,29 @@ def island_labels(conductivity: np.ndarray, bmask: np.ndarray
     pos = np.asarray(conductivity) > 0.
     bmask = np.asarray(bmask, bool)
     structure = np.ones((3, 3), bool)
-    lab, _ = ndimage.label(pos, structure=structure)
+    lab, nlab = ndimage.label(pos, structure=structure)
     strong_anchor = ndimage.binary_dilation(bmask & pos, structure=structure)
     anchored = np.unique(lab[strong_anchor & (lab > 0)])
-    out = np.zeros_like(lab, dtype=np.int32)
-    nxt = 0
-    for lid in np.unique(lab[lab > 0]):
-        if lid in anchored:
-            continue
-        nxt += 1
-        out[lab == lid] = nxt
-    return out, nxt
+    # O(N) vectorized relabel: anchored/background -> 0, floating islands
+    # -> consecutive 1..K (a per-label Python loop is O(K*N) and takes
+    # minutes at 23k islands on a 4096^2 grid).
+    keep = np.ones(nlab + 1, bool)
+    keep[0] = False
+    keep[anchored] = False
+    newid = np.where(keep, np.cumsum(keep), 0).astype(np.int32)
+    return newid[lab], int(keep.sum())
 
 
-def island_zaz(planes: jax.Array, labels: jax.Array,
-               num_segments: int) -> jax.Array:
-    """z_I^T A z_I = total leak weight out of each island: the sum of
-    W edges from island cells to cells with a different label. All terms
-    are positive and tiny, so plain f32 summation is accurate. On device
-    (one masked segment_sum over the stacked cross-edge planes)."""
-    lab = jnp.asarray(labels, jnp.int32)
-    nrow, ncol = lab.shape
-    labpad = jnp.pad(lab, 1, constant_values=-1)
-    cross_w = []
-    for k, (dr, dc) in enumerate(_DELTAS):
-        nb = jax.lax.slice(labpad, (dr + 1, dc + 1),
-                           (dr + 1 + nrow, dc + 1 + ncol))
-        cross = (lab > 0) & (nb != lab)
-        cross_w.append(jnp.where(cross, planes[k], 0.))
-    total = sum(cross_w)
-    zaz = jax.ops.segment_sum(total.ravel(), lab.ravel(),
-                              num_segments=num_segments)
-    zaz = zaz.at[0].set(1.0)  # background: never used
-    return jnp.maximum(zaz, 1e-30)
-
-
-def _island_correction(u: DS, r_hi: jax.Array, labels: jax.Array,
-                       zaz_inv: jax.Array, notb: jax.Array) -> DS:
-    """Subspace correction u += z_I (z_I^T r)/(z_I^T A z_I) per island,
-    vectorized over islands with one segment_sum."""
-    num = zaz_inv.shape[0]
-    rsum = jax.ops.segment_sum(r_hi.ravel(), labels.ravel(),
-                               num_segments=num)
-    c = rsum * zaz_inv
-    c = c.at[0].set(0.)
-    upd = c[labels] * notb
-    return ds_add(u, ds_from(upd))
+def _island_correction(u: DS, r_hi: jax.Array, level: LapLevel) -> DS:
+    """Subspace correction u += z_I (z_I^T r)/(z_I^T A z_I) per island
+    (f32-exact tile matmuls)."""
+    num = level.zaz_inv.shape[0]
+    rsum = _tile_segsum(r_hi, level.onehot, level.sidx, level.sisland,
+                        num)
+    c = (rsum * level.zaz_inv).at[0].set(0.)
+    upd = _tile_broadcast(c, level.onehot, level.sidx, level.sisland,
+                          level.shape)
+    return ds_add(u, ds_from(upd * level.notb))
 
 
 # ---- driver -----------------------------------------------------------------
@@ -397,12 +604,17 @@ def _gcr_solve(levels: List[LapLevel], rhs: jax.Array, maxiter,
         x = x + alpha * z
         Z = jnp.concatenate([Z[1:], z[None]])
         Q = jnp.concatenate([Q[1:], q[None]])
+        rn_old = carry[4]
         rn = snorm((rhs - _apply_lap(top.planes, x)) * notb)
-        return x, Z, Q, it + 1, rn, rn_prev
+        return x, Z, Q, it + 1, rn, rn_old
 
     def cond(carry):
         x, Z, Q, it, rn, rn_prev = carry
-        improving = (rn < 0.98 * rn_prev) | (it < 4)
+        # Exit at the f32 floor. The threshold must sit between the
+        # slow-start rate (~0.97/iter for the first ~6 iterations on hard
+        # fields — a 2% threshold killed refinement passes mid-start,
+        # measured rrel 3e-5 vs 1e-7) and the floor bounce (rate ~1.0).
+        improving = (rn < 0.995 * rn_prev) | (it < 8)
         return (it < maxiter) & (rn > tol_abs) & improving
 
     init = (x0, buf, buf, jnp.asarray(0, jnp.int32),
@@ -414,18 +626,15 @@ def _gcr_solve(levels: List[LapLevel], rhs: jax.Array, maxiter,
 @functools.partial(jax.jit,
                    static_argnames=('maxcycles', 'refine', 'tol',
                                     'num_segments'))
-def _solve_refined_jit(conductivity, bmask, bvals, fine_labels,
+def _solve_refined_jit(conductivity, bmask, bvals, tiles,
                        num_segments: int,
                        tol: float, maxcycles: int, refine: int):
     bmask = jnp.asarray(bmask, bool)
     bvals = jnp.asarray(bvals, jnp.float32)
     planes = weight_planes(conductivity)
-    levels = build_lap_levels(planes, bmask, labels=fine_labels,
-                              num_segments=num_segments)
+    levels = build_lap_levels(planes, bmask, tiles, num_segments)
     top = levels[0]
     notb = top.notb
-    labels, zaz_inv = top.labels, top.zaz_inv
-    num = zaz_inv.shape[0]
     u0 = jnp.where(bmask, bvals, 500.)
 
     # All norms are of the diagonally-SCALED residual D^-1 r: in plateau
@@ -440,12 +649,11 @@ def _solve_refined_jit(conductivity, bmask, bvals, fine_labels,
     target = tol * scale
     # island level-error estimate |z^T r| / (z^T A z), potential units
     lev_target = jnp.float32(1e-4)
+    num = num_segments
 
-    def island_update(r_hi):
-        rsum = jax.ops.segment_sum(r_hi.ravel(), labels.ravel(),
-                                   num_segments=num)
-        c = (rsum * zaz_inv).at[0].set(0.)
-        return c[labels] * notb, jnp.max(jnp.abs(c))
+    def island_coeff(r_hi):
+        rsum = _tile_segsum(r_hi, top.onehot, top.sidx, top.sisland, num)
+        return (rsum * top.zaz_inv).at[0].set(0.)
 
     # ---- stage 1: f32 GCR to the f32 floor (difference-form f32
     # residuals are accurate relative to their terms).
@@ -463,24 +671,38 @@ def _solve_refined_jit(conductivity, bmask, bvals, fine_labels,
         return -(r.hi + r.lo) * notb
 
     def ref_cond(carry):
-        uds, it, rnorm, lev = carry
-        return (it < refine) & ((rnorm > target) | (lev > lev_target))
+        uds, it, rnorm, lev, rn_prev = carry
+        unconverged = (rnorm > target) | (lev > lev_target)
+        # Pass-over-pass stall guard: on large hard fields the hierarchy's
+        # asymptotic rate (~0.95/iter on the post-stage-1 residual) means
+        # extra passes buy ~5%/pass — once a pass shrinks the scaled
+        # residual by < 10%, exit with the honest residual instead of
+        # spinning to the pass cap (measured: 30 stalled passes cost ~5 s
+        # at 2048^2 for one spare digit).
+        improving = (rnorm < 0.9 * rn_prev) | (it < 2)
+        return (it < refine) & unconverged & improving
 
     def ref_body(carry):
-        uds, it, _, _ = carry
+        uds, it, rn_old, _, _ = carry
         r_hi = ds_resid(uds)
-        delta, _ = _gcr_solve(levels, r_hi, 8, 0.05 * scaled_norm(r_hi))
+        # Long inner budget, few passes: GCR momentum builds over ~6
+        # iterations before the asymptotic ~0.86/iter rate kicks in on
+        # hard fields, so restarting every 8 iterations spends every pass
+        # in the slow-start phase (measured: 0.97/iter across 8-iter
+        # passes vs 0.86/iter continuous). The stall guard in _gcr_solve
+        # exits early once the f32 floor is hit.
+        delta, _ = _gcr_solve(levels, r_hi, 48, 0.02 * scaled_norm(r_hi))
         uds = ds_add(uds, ds_from(delta * notb))
         r_hi = ds_resid(uds)
-        upd, _ = island_update(r_hi)
-        uds = ds_add(uds, ds_from(upd))
+        uds = _island_correction(uds, r_hi, top)
         r_hi = ds_resid(uds)
-        _, lev = island_update(r_hi)
-        return uds, it + 1, scaled_norm(r_hi), lev
+        lev = jnp.max(jnp.abs(island_coeff(r_hi)))
+        return uds, it + 1, scaled_norm(r_hi), lev, rn_old
 
-    uds, nref, rn2, _ = jax.lax.while_loop(
+    uds, nref, rn2, _, _ = jax.lax.while_loop(
         ref_cond, ref_body,
-        (uds, jnp.asarray(0, jnp.int32), scale, jnp.float32(jnp.inf)))
+        (uds, jnp.asarray(0, jnp.int32), scale, jnp.float32(jnp.inf),
+         jnp.float32(jnp.inf)))
 
     out = uds.hi + uds.lo
     out = jnp.where(bmask, bvals, out)
@@ -493,16 +715,18 @@ def solve_potential_refined(conductivity, bmask, bvals, tol: float = 1e-7,
     oracle accuracy (validated in tests/test_potential.py). Returns
     (potential float32 (nrow, ncol), relative residual scalar).
 
-    Host work per solve is ONE ``scipy.ndimage.label`` pass; the weight
-    planes, the whole Galerkin/deflation hierarchy, and the solve run in
-    a single jit (compiled once per (shape, island-bucket) pair)."""
+    Host work per solve is one ``scipy.ndimage.label`` pass plus the
+    vectorized tile-dictionary build; the weight planes, the whole
+    Galerkin/deflation hierarchy, and the solve run in a single jit
+    (compiled once per (shape, island-bucket, slot-bucket) tuple)."""
     bmask_np = np.asarray(bmask, bool)
     labels_np, k = island_labels(np.asarray(conductivity), bmask_np)
     # quantize the segment count so recompiles are rare across fields
     num = 64
     while num < k + 1:
         num *= 2
+    tiles = build_tile_hierarchy(labels_np, bmask_np)
     return _solve_refined_jit(
         jnp.asarray(conductivity, jnp.float32), jnp.asarray(bmask_np),
-        jnp.asarray(bvals, jnp.float32), jnp.asarray(labels_np), num,
+        jnp.asarray(bvals, jnp.float32), tiles, num,
         tol, maxcycles, refine)
