@@ -12,6 +12,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -90,7 +91,7 @@ def main():
     def run(key):
         presence, steps = simulate_presence_compacting(
             params, starts, key, updraft=conductivity, potential=pot,
-            chunk=1024)
+            chunk=int(os.environ.get('SSRS_BENCH_CHUNK', 512)))
         return presence, steps
 
     presence, steps = run(jax.random.key(0))

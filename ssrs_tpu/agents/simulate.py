@@ -175,9 +175,21 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
             (r, c))
 
         if params.memory_k > 0:
-            mask = center0_T * jnp.take(table_T, state.mem[:, 0], axis=1)
+            # one-hot 9x9 matmul instead of jnp.take: XLA lowers the
+            # (9, 9)-table take at N indices to a real per-element gather
+            # (~165 us/step at 100k agents, honest chained-scan timing in
+            # scripts/ablate_step4.py); the tiny dot is ~free and exact
+            # (0/1 entries, f32)
+            def _mask_for(col):
+                ohm = (col[None, :] == jax.lax.broadcasted_iota(
+                    jnp.int32, (9, 1), 0)).astype(jnp.float32)
+                return jax.lax.dot_general(
+                    table_T.astype(jnp.float32), ohm,
+                    (((1,), (0,)), ((), ())))
+
+            mask = center0_T * _mask_for(state.mem[:, 0])
             for k in range(1, params.memory_k):
-                mask = mask * jnp.take(table_T, state.mem[:, k], axis=1)
+                mask = mask * _mask_for(state.mem[:, k])
         else:
             mask = None
 
@@ -367,8 +379,10 @@ def _run_chunk(params: TrackParams, base_flat, dirp, table,
     step_fn = make_step_fn(params, base_flat, dirp, table)
     state = SimState(pos=pos, mem=mem, alive=alive, key=key,
                      presence=presence, step=step0)
+    # unroll: cross-step fusion of the elementwise chains trims ~5% at
+    # 100k agents and more at small tail buckets (scripts/ablate_step4.py)
     state, _ = jax.lax.scan(lambda s, _: (step_fn(s), None), state, None,
-                            length=chunk)
+                            length=chunk, unroll=8)
     return (state.pos, state.mem, state.alive, state.key, state.presence,
             state.step, jnp.sum(state.alive))
 
@@ -409,6 +423,25 @@ def _run_chunk_hist(params: TrackParams, base_flat, dirp, table,
     presence = state.presence + upd
     return (state.pos, state.mem, state.alive, state.key, presence,
             state.step, jnp.sum(state.alive))
+
+
+
+def _bucket_for(n_alive: int, min_bucket: int) -> int:
+    """Smallest {1, 1.5} * 2^k >= n_alive (>= min_bucket).
+
+    A pure power-of-two ladder leaves up to 2x dead slots before the
+    first compaction triggers (measured on the bench workload: the
+    second 1024-step chunk ran a 100k bucket while alive fell 64k ->
+    8.6k); the 1.5x intermediate rungs cut that to 1.5x for at most 2x
+    the compile-cache entries (_run_chunk is compiled per bucket size,
+    all cached persistently)."""
+    n = max(n_alive, min_bucket, 1)
+    p = 1 << max(n.bit_length() - 1, 0)      # largest pow2 <= n
+    if p >= n:
+        return p
+    if 3 * p // 2 >= n:
+        return 3 * p // 2
+    return 2 * p
 
 
 @functools.partial(jax.jit, static_argnames=('m',))
@@ -500,8 +533,8 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
                 if steps_alive:
                     traj[agent].append(ys_pos[:steps_alive, j])
         cur = pos.shape[0]
-        if n_alive > 0 and cur > min_bucket and n_alive < cur // 2:
-            m = max(1 << (n_alive - 1).bit_length(), min_bucket)
+        if n_alive > 0 and cur > min_bucket:
+            m = _bucket_for(n_alive, min_bucket)
             if m < cur:
                 pos, mem, alive, ids = _compact_ids(pos, mem, alive, ids,
                                                     m)
@@ -563,7 +596,7 @@ def simulate_presence_cases(params: TrackParams, base_tables: jax.Array,
 def simulate_presence_compacting(params: TrackParams, start_rc,
                                  key: jax.Array,
                                  updraft=None, potential=None,
-                                 chunk: int = 1024,
+                                 chunk: int = 512,
                                  min_bucket: int = 1024,
                                  valid=None):
     """Presence simulation with dead-agent compaction.
@@ -596,14 +629,22 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
               else _run_chunk)
     # the step cap inside the step function handles the final partial
     # chunk (agents past nsteps stop), so one fixed chunk size suffices
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get('SSRS_CHUNK_DEBUG')
     while int(step0) < params.nsteps and n_alive > 0:
+        _t0 = _time.perf_counter()
         pos, mem, alive, key_c, presence, step0, n_alive_dev = runner(
             params, base_flat, dirp, table, pos, mem, alive, key_c,
             presence, step0, chunk)
         n_alive = int(n_alive_dev)
+        if _dbg:
+            print(f'[chunk] bucket={pos.shape[0]} alive={n_alive} '
+                  f'steps={int(step0)} dt={_time.perf_counter()-_t0:.3f}s',
+                  flush=True)
         cur = pos.shape[0]
-        if n_alive > 0 and cur > min_bucket and n_alive < cur // 2:
-            m = max(1 << (n_alive - 1).bit_length(), min_bucket)
+        if n_alive > 0 and cur > min_bucket:
+            m = _bucket_for(n_alive, min_bucket)
             if m < cur:
                 pos, mem, alive = _compact(pos, mem, alive, m)
     return presence, step0
