@@ -178,3 +178,112 @@ def test_refined_device_solver_moderate_and_uniform():
         want = solve_potential_direct(cond, 0.).astype(np.float64)
         got, _ = solve_potential_refined(cond, bmask, bvals)
         assert np.abs(np.asarray(got, np.float64) - want).max() < 1e-2
+
+
+# ---- tiled island-dictionary primitives (potential/lap.py) -----------------
+
+
+def _speckle(shape, seed=3, thresh=0.55):
+    rng = np.random.default_rng(seed)
+    w = rng.random(shape).astype(np.float32)
+    w[w < thresh] = 0.0
+    return w
+
+
+def test_tile_level_structure_invariants():
+    """Per-tile dictionaries: slot 0 is background in every tile, lidx
+    maps each cell to the slot holding its label, active slots cover
+    exactly the nonzero dictionary entries."""
+    from ssrs_tpu.potential.lap import _build_tile_level, _tiled_dims
+
+    rng = np.random.default_rng(0)
+    for shape in [(37, 61), (64, 64), (100, 45)]:
+        labels = rng.integers(0, 11, size=shape).astype(np.int32)
+        lidx, slots, sidx, sisland = _build_tile_level(labels)
+        T, C = lidx.shape
+        L = slots.shape[1]
+        mp, npad = _tiled_dims(shape)
+        lt = np.zeros((mp, npad), np.int32)
+        lt[:shape[0], :shape[1]] = labels
+        tr, tc = mp // 32, npad // 32
+        lt = lt.reshape(tr, 32, tc, 32).transpose(0, 2, 1, 3).reshape(T, C)
+        assert (slots[:, 0] == 0).all()
+        assert (slots[np.arange(T)[:, None], lidx] == lt).all()
+        flat = slots.ravel()
+        nz = np.nonzero(flat)[0]
+        assert (sidx[:len(nz)] == nz).all()
+        assert (sisland[:len(nz)] == flat[nz]).all()
+        assert (sisland[len(nz):] == 0).all()
+
+
+def test_tile_segsum_matches_segment_sum_oracle():
+    """_tile_segsum == jax.ops.segment_sum over dense labels, and
+    _tile_broadcast == c[labels], on speckle fields with many islands."""
+    import jax
+    import jax.numpy as jnp
+    from ssrs_tpu.potential.lap import (_build_tile_level, _onehot_slots,
+                                        _tile_broadcast, _tile_segsum)
+
+    rng = np.random.default_rng(1)
+    for shape in [(48, 80), (130, 70)]:
+        labels = rng.integers(0, 97, size=shape).astype(np.int32)
+        x = rng.random(shape).astype(np.float32)
+        num = 128
+        lidx, slots, sidx, sisland = _build_tile_level(labels)
+        onehot = _onehot_slots(jnp.asarray(lidx), slots.shape[1])
+        got = np.asarray(_tile_segsum(
+            jnp.asarray(x), onehot, jnp.asarray(sidx),
+            jnp.asarray(sisland), num))
+        want = np.asarray(jax.ops.segment_sum(
+            jnp.asarray(x).ravel(), jnp.asarray(labels).ravel(),
+            num_segments=num))
+        # background (label 0) is excluded from the routing stage by
+        # design (c[0] is always forced to 0); compare islands only
+        np.testing.assert_allclose(got[1:], want[1:], rtol=2e-6,
+                                   atol=1e-5)
+
+        c = rng.random(num).astype(np.float32)
+        c[0] = 0.0
+        back = np.asarray(_tile_broadcast(
+            jnp.asarray(c), onehot, jnp.asarray(sidx),
+            jnp.asarray(sisland), shape))
+        np.testing.assert_allclose(back, c[labels], rtol=2e-6, atol=1e-6)
+
+
+def test_host_label_coarsening_matches_device_rule():
+    """Host per-level label coarsening must replicate the device bmask
+    rule (any fine Dirichlet -> coarse Dirichlet) so the hierarchy's
+    shapes and labels agree."""
+    import jax.numpy as jnp
+    from ssrs_tpu.potential.lap import (_coarsen_bmask,
+                                        _host_coarsen_labels)
+
+    rng = np.random.default_rng(2)
+    labels = rng.integers(0, 9, size=(33, 47)).astype(np.int32)
+    bmask = rng.random((33, 47)) > 0.85
+    lab_c, bm_c = _host_coarsen_labels(labels, bmask)
+    dev = np.asarray(_coarsen_bmask(jnp.asarray(bmask)))
+    np.testing.assert_array_equal(bm_c, dev)
+    assert (lab_c[bm_c] == 0).all()
+
+
+def test_island_labels_vectorized_relabel():
+    """Floating islands get consecutive ids 1..K; components anchored to
+    a positive-conductivity Dirichlet cell are excluded (id 0)."""
+    from ssrs_tpu.potential.lap import island_labels
+
+    cond = np.zeros((12, 14), np.float32)
+    cond[3:5, 3:5] = 1.0         # floating island A
+    cond[8:10, 8:11] = 2.0       # floating island B
+    cond[0, 0:3] = 1.0           # touches the boundary row
+    bmask = np.zeros((12, 14), bool)
+    bmask[0, :] = True
+    bmask[-1, :] = True
+    bmask[:, 0] = True
+    bmask[:, -1] = True
+    labels, k = island_labels(cond, bmask)
+    assert k == 2
+    assert set(np.unique(labels)) == {0, 1, 2}
+    assert len(np.unique(labels[3:5, 3:5])) == 1
+    assert len(np.unique(labels[8:10, 8:11])) == 1
+    assert (labels[0, 0:3] == 0).all()  # anchored -> excluded
