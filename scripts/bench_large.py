@@ -3,8 +3,9 @@
 presence accumulation — all on one chip.
 
 At this size the auto heuristics switch: presence via scatter (one-hot
-bandwidth would scale with nrow+ncol=13334), potential via device
-multigrid (44M unknowns)."""
+bandwidth would scale with nrow+ncol=13334), potential via the refined
+device solver (lap.py: Galerkin MG + tiled island deflation, 44M
+unknowns) — same path as the Simulator's 'auto'."""
 
 import json
 import os
@@ -25,7 +26,8 @@ def main():
         simulate_presence_compacting
     from ssrs_tpu.fields import (get_above_threshold_speed,
                                  orographic_updraft_from_dem)
-    from ssrs_tpu.potential import solve_potential_for_direction
+    from ssrs_tpu.potential import solve_potential_refined
+    from ssrs_tpu.potential.boundary import boundary_masks
 
     # 6667^2 = 44.4M cells = the 200x200 km @30 m BASELINE config;
     # first-process multigrid compile is ~3 min (enable the persistent
@@ -46,10 +48,12 @@ def main():
     print(f'updraft {dt_updraft:.2f}s', flush=True)
 
     t0 = time.perf_counter()
-    pot, resid = solve_potential_for_direction(conductivity, 0.,
-                                               tol=1e-6, maxiter=40)
-    pot.block_until_ready()
+    bmask, bvals = boundary_masks(0., (nrow, ncol))
+    pot, resid = solve_potential_refined(np.asarray(conductivity), bmask,
+                                         bvals, maxcycles=60)
+    pot = np.asarray(pot)  # true sync (block_until_ready lies on axon)
     dt_potential = time.perf_counter() - t0
+    pot = jnp.asarray(pot)
     print(f'potential {dt_potential:.2f}s resid {float(resid):.4g}',
           flush=True)
 

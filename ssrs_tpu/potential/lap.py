@@ -134,24 +134,21 @@ def _pad_even(x: jax.Array, fill=0.) -> jax.Array:
     return x
 
 
-def _galerkin_kernel() -> np.ndarray:
-    """(8, 8, 2, 2) 0/1 kernel encoding the edge-aggregation map: output
-    channel kc accumulates fine plane k at block offset (i, j) whenever a
-    fine edge from offset (i, j) in direction k crosses into coarse
-    neighbor kc. Built once at import time."""
-    ker = np.zeros((8, 8, 2, 2), np.float32)
+def _galerkin_map():
+    """For each coarse direction kc, the list of (fine plane k, block
+    offset (i, j)) whose fine edges cross into coarse neighbor kc."""
+    out = {kc: [] for kc in range(8)}
     for k, (dr, dc) in enumerate(_DELTAS):
         for i in (0, 1):
             for j in (0, 1):
                 di, dj = (i + dr) // 2, (j + dc) // 2
                 if (di, dj) == (0, 0):
                     continue  # internal fine edge
-                ker[_DELTA_TO_K[(di, dj)], k, i, j] = 1.0
-    return ker
+                out[_DELTA_TO_K[(di, dj)]].append((k, i, j))
+    return out
 
 
-_GALERKIN_KER = _galerkin_kernel()
-_CONV_DN = ('NCHW', 'OIHW', 'NCHW')
+_GALERKIN_MAP = _galerkin_map()
 
 
 def _galerkin_coarsen(planes: jax.Array) -> jax.Array:
@@ -160,13 +157,29 @@ def _galerkin_coarsen(planes: jax.Array) -> jax.Array:
     constant prolongation / block-sum restriction). Fine edges internal to
     a block vanish — they are invisible to block-constant functions.
 
-    One 8->8-channel 2x2 stride-2 convolution; build-time only."""
+    Implementation: parity masks + 2x2/2 reduce_window per coarse
+    direction. An 8->8-channel stride-2 convolution did the same in one
+    op but XLA pads conv channels to the 128-lane tile — a 22.8 GB copy
+    at 6667^2 (measured OOM); strided slices shuffle lanes (~200 ms at
+    16.8M cells). Build-time only."""
     wp = _pad_even(planes)
-    out = jax.lax.conv_general_dilated(
-        wp[None], jnp.asarray(_GALERKIN_KER), window_strides=(2, 2),
-        padding='VALID', dimension_numbers=_CONV_DN,
-        precision=_HI)
-    return out[0]
+    m2, n2 = wp.shape[-2:]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (m2, n2), 0) % 2
+    ci = jax.lax.broadcasted_iota(jnp.int32, (m2, n2), 1) % 2
+    par = {(i, j): ((ri == i) & (ci == j)).astype(wp.dtype)
+           for i in (0, 1) for j in (0, 1)}
+
+    def block_sum(x):
+        return jax.lax.reduce_window(x, 0., jax.lax.add, (2, 2), (2, 2),
+                                     'VALID')
+
+    coarse = []
+    for kc in range(8):
+        acc = jnp.zeros((m2, n2), wp.dtype)
+        for k, i, j in _GALERKIN_MAP[kc]:
+            acc = acc + wp[k] * par[(i, j)]
+        coarse.append(block_sum(acc))
+    return jnp.stack(coarse)
 
 
 def _coarsen_bmask(bmask: jax.Array) -> jax.Array:

@@ -287,3 +287,34 @@ def test_island_labels_vectorized_relabel():
     assert len(np.unique(labels[3:5, 3:5])) == 1
     assert len(np.unique(labels[8:10, 8:11])) == 1
     assert (labels[0, 0:3] == 0).all()  # anchored -> excluded
+
+
+def test_galerkin_coarsen_matches_strided_oracle():
+    """The parity-mask + reduce_window Galerkin coarsening equals the
+    direct strided-slice edge aggregation (the conv formulation OOMed at
+    6667^2 from channel padding; the strided one lane-shuffles — both
+    are oracles here, the shipped one must match)."""
+    import jax.numpy as jnp
+    from ssrs_tpu.potential.lap import (_DELTA_TO_K, _DELTAS,
+                                        _galerkin_coarsen, _pad_even)
+
+    def strided_oracle(planes):
+        wp = _pad_even(planes)
+        mc, nc = wp.shape[-2] // 2, wp.shape[-1] // 2
+        coarse = [jnp.zeros((mc, nc), wp.dtype) for _ in range(8)]
+        for k, (dr, dc) in enumerate(_DELTAS):
+            for i in (0, 1):
+                for j in (0, 1):
+                    di, dj = (i + dr) // 2, (j + dc) // 2
+                    if (di, dj) == (0, 0):
+                        continue
+                    kc = _DELTA_TO_K[(di, dj)]
+                    coarse[kc] = coarse[kc] + wp[k][i::2, j::2]
+        return jnp.stack(coarse)
+
+    rng = np.random.default_rng(5)
+    for shape in [(17, 23), (64, 64), (101, 30)]:
+        planes = jnp.asarray(rng.random((8,) + shape).astype(np.float32))
+        got = np.asarray(_galerkin_coarsen(planes))
+        want = np.asarray(strided_oracle(planes))
+        np.testing.assert_allclose(got, want, atol=1e-6)
