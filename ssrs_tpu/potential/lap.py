@@ -668,16 +668,15 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles,
         rsum = _tile_segsum(r_hi, top.onehot, top.sidx, top.sisland, num)
         return (rsum * top.zaz_inv).at[0].set(0.)
 
-    # ---- stage 1: f32 GCR to the f32 floor (difference-form f32
-    # residuals are accurate relative to their terms).
-    r0 = -_apply_lap(top.planes, u0) * notb
-    du, _ = _gcr_solve(levels, r0, maxcycles, target)
-    u = u0 + du * notb
-
-    # ---- stage 2: double-single refinement; the island deflation runs
-    # LAST in each pass so the exit state has exact island levels up to
-    # DS residual accuracy.
-    uds = DS(u, jnp.zeros_like(u))
+    # Double-single refinement from u0; the FIRST pass plays the classic
+    # "stage 1" role (its DS residual of the f32 start IS the plain f32
+    # residual), so there is only ONE _gcr_solve/vcycle trace in the
+    # graph — a separate f32 stage doubled the traced solver body and
+    # with it the XLA compile time at large shapes (first compiles
+    # through the axon tunnel ran 8-15 min at 4096^2+). The island
+    # deflation runs LAST in each pass so the exit state has exact island
+    # levels up to DS residual accuracy.
+    uds = DS(u0, jnp.zeros_like(u0))
 
     def ds_resid(uds):
         r = apply_lap_ds(top.planes, uds)
@@ -687,7 +686,7 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles,
         uds, it, rnorm, lev, rn_prev = carry
         unconverged = (rnorm > target) | (lev > lev_target)
         # Pass-over-pass stall guard: on large hard fields the hierarchy's
-        # asymptotic rate (~0.95/iter on the post-stage-1 residual) means
+        # asymptotic rate (~0.95/iter on the refinement residual) means
         # extra passes buy ~5%/pass — once a pass shrinks the scaled
         # residual by < 10%, exit with the honest residual instead of
         # spinning to the pass cap (measured: 30 stalled passes cost ~5 s
@@ -704,7 +703,9 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles,
         # in the slow-start phase (measured: 0.97/iter across 8-iter
         # passes vs 0.86/iter continuous). The stall guard in _gcr_solve
         # exits early once the f32 floor is hit.
-        delta, _ = _gcr_solve(levels, r_hi, 48, 0.02 * scaled_norm(r_hi))
+        delta, _ = _gcr_solve(levels, r_hi, maxcycles,
+                              jnp.maximum(0.02 * scaled_norm(r_hi),
+                                          jnp.float32(0.5) * target))
         uds = ds_add(uds, ds_from(delta * notb))
         r_hi = ds_resid(uds)
         uds = _island_correction(uds, r_hi, top)
