@@ -36,8 +36,10 @@ table_np = restriction_table()
 
 
 def make_variant(*, gather=True, memmask=True, rng=True, cascade=True,
-                 presence='none', transpose=True):
+                 presence='none', transpose=True, prod_extras=False):
     # memmask: True (take), 'onehot' (9x9 matmul), False (off)
+    # prod_extras: replicate the production step's alive/burnin/cond
+    # bookkeeping (make_step_fn) on top of the core math
     deltas = jnp.asarray(NEIGHBOR_DELTAS)
     center0 = jnp.asarray(CENTER_ZERO)
     dirp = jnp.asarray(dirp_np)
@@ -50,8 +52,25 @@ def make_variant(*, gather=True, memmask=True, rng=True, cascade=True,
     def step(carry, base_flat):
         pos, mem, key, presence_arr = carry
         r, c = pos[:, 0], pos[:, 1]
-        pr = jnp.clip(r, 1, NROW - 2)
-        pc = jnp.clip(c, 1, NCOL - 2)
+        if prod_extras:
+            step_i = jnp.sum(mem[:, 0]) * 0 + 60  # traced scalar
+            in_interior = ((r > 0) & (r < NROW - 1) & (c > 0) &
+                           (c < NCOL - 1))
+            past_burnin = step_i > 50
+            under_cap = step_i < 10000
+            alive = in_interior & (in_interior | ~past_burnin) & under_cap
+            pr, pc = jax.lax.cond(
+                past_burnin,
+                lambda rc: rc,
+                lambda rc: (jnp.where(rc[0] <= 1, rc[0] + 2, rc[0]),
+                            jnp.where(rc[1] <= 0, rc[1] + 2, rc[1])),
+                (r, c))
+            pr = jnp.clip(pr, 1, NROW - 2)
+            pc = jnp.clip(pc, 1, NCOL - 2)
+        else:
+            alive = None
+            pr = jnp.clip(r, 1, NROW - 2)
+            pc = jnp.clip(c, 1, NCOL - 2)
 
         if memmask == 'onehot':
             ohm = (mem[:, 0][None, :] ==
@@ -91,10 +110,19 @@ def make_variant(*, gather=True, memmask=True, rng=True, cascade=True,
                      axis=0).astype(jnp.int32)
         mi = jnp.minimum(mi, 8)
 
-        new_r = jnp.clip(pr + jnp.take(dr_tab, mi), 1, NROW - 2)
-        new_c = jnp.clip(pc + jnp.take(dc_tab, mi), 1, NCOL - 2)
-        new_pos = jnp.stack([new_r, new_c], axis=1)
-        new_mem = jnp.concatenate([mem[:, 1:], mi[:, None]], axis=1)
+        if prod_extras:
+            new_r = jnp.where(alive, pr + jnp.take(dr_tab, mi), r)
+            new_c = jnp.where(alive, pc + jnp.take(dc_tab, mi), c)
+            new_r = jnp.clip(new_r, 1, NROW - 2)
+            new_c = jnp.clip(new_c, 1, NCOL - 2)
+            new_pos = jnp.stack([new_r, new_c], axis=1)
+            new_mem = jnp.concatenate([mem[:, 1:], mi[:, None]], axis=1)
+            new_mem = jnp.where(alive[:, None], new_mem, mem)
+        else:
+            new_r = jnp.clip(pr + jnp.take(dr_tab, mi), 1, NROW - 2)
+            new_c = jnp.clip(pc + jnp.take(dc_tab, mi), 1, NCOL - 2)
+            new_pos = jnp.stack([new_r, new_c], axis=1)
+            new_mem = jnp.concatenate([mem[:, 1:], mi[:, None]], axis=1)
 
         if presence == 'emit':
             return (new_pos, new_mem, key, presence_arr), (
@@ -164,11 +192,11 @@ def main():
           flush=True)
 
     best = make_variant(memmask='onehot', presence='matmul')
-    bench('onehot memmask + matmul presence', best, base)
-    for u in (2, 4, 8):
-        bench(f'same, scan unroll={u}', best, base, unroll=u)
-    bench('unroll=4, presence none',
-          make_variant(memmask='onehot'), base, unroll=4)
+    bench('core (onehot mask + matmul presence) u8', best, base,
+          unroll=8)
+    bench('core + production extras u8',
+          make_variant(memmask='onehot', presence='matmul',
+                       prod_extras=True), base, unroll=8)
 
 
 if __name__ == '__main__':

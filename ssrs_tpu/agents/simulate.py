@@ -387,6 +387,35 @@ def _run_chunk(params: TrackParams, base_flat, dirp, table,
             state.step, jnp.sum(state.alive))
 
 
+
+@functools.partial(jax.jit, static_argnames=('params', 'chunk'))
+def _run_tail(params: TrackParams, base_flat, dirp, table,
+              pos, mem, alive, key, presence, step0, chunk: int):
+    """Run the REMAINDER of a simulation in one dispatch: a device-side
+    while_loop of chunk-scans with an all-dead early exit.
+
+    Used by the compacting driver once the bucket has shrunk to
+    min_bucket: every further host round trip costs ~50 ms through the
+    axon tunnel while the tail chunks have ~10 ms of device work
+    (measured in the bench chunk trace) — one dispatch for the whole
+    tail removes all of it."""
+    step_fn = make_step_fn(params, base_flat, dirp, table)
+    state = SimState(pos=pos, mem=mem, alive=alive, key=key,
+                     presence=presence, step=step0)
+
+    def cond(st):
+        return (st.step < params.nsteps) & jnp.any(st.alive)
+
+    def body(st):
+        st, _ = jax.lax.scan(lambda s, _: (step_fn(s), None), st, None,
+                             length=chunk, unroll=8)
+        return st
+
+    state = jax.lax.while_loop(cond, body, state)
+    return (state.pos, state.mem, state.alive, state.key, state.presence,
+            state.step, jnp.sum(state.alive))
+
+
 @functools.partial(jax.jit, static_argnames=('params', 'chunk'))
 def _run_chunk_hist(params: TrackParams, base_flat, dirp, table,
                     pos, mem, alive, key, presence, step0, chunk: int):
@@ -598,7 +627,8 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
                                  updraft=None, potential=None,
                                  chunk: int = 512,
                                  min_bucket: int = 1024,
-                                 valid=None):
+                                 valid=None,
+                                 tail_bucket: int = 0):
     """Presence simulation with dead-agent compaction.
 
     The plain lockstep scan keeps simulating dead agents: with boundary
@@ -627,13 +657,38 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     n_alive = int(jnp.sum(alive))
     runner = (_run_chunk_hist if params.presence_impl == 'chunk-hist'
               else _run_chunk)
+    # in-step presence for the one-dispatch tail runner ('chunk-hist'
+    # emits per-chunk planes, which a device-side while_loop cannot)
+    tail_params = (params._replace(presence_impl='auto')
+                   if params.presence_impl == 'chunk-hist' else params)
     # the step cap inside the step function handles the final partial
     # chunk (agents past nsteps stop), so one fixed chunk size suffices
     import os as _os
     import time as _time
     _dbg = _os.environ.get('SSRS_CHUNK_DEBUG')
+    # Switch to the one-dispatch tail once no compaction is possible.
+    # Raising tail_bucket trades dead-slot waste for saved ~50 ms/chunk
+    # host RTTs; measured on the bench decay, an earlier switch (12x
+    # min_bucket) LOSES — per-step cost at a 12k bucket is ~128 us and
+    # the survivors run thousands more steps — so the default stays at
+    # min_bucket.
+    if tail_bucket <= 0:
+        tail_bucket = min_bucket
     while int(step0) < params.nsteps and n_alive > 0:
         _t0 = _time.perf_counter()
+        cur = pos.shape[0]
+        if cur <= max(min_bucket, tail_bucket):
+            # no further compaction possible: run the whole remainder in
+            # one dispatch (device-side early exit)
+            pos, mem, alive, key_c, presence, step0, n_alive_dev = \
+                _run_tail(tail_params, base_flat, dirp, table, pos, mem,
+                          alive, key_c, presence, step0, chunk)
+            n_alive = int(n_alive_dev)
+            if _dbg:
+                print(f'[tail]  bucket={cur} alive={n_alive} '
+                      f'steps={int(step0)} '
+                      f'dt={_time.perf_counter()-_t0:.3f}s', flush=True)
+            break
         pos, mem, alive, key_c, presence, step0, n_alive_dev = runner(
             params, base_flat, dirp, table, pos, mem, alive, key_c,
             presence, step0, chunk)
@@ -642,7 +697,6 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
             print(f'[chunk] bucket={pos.shape[0]} alive={n_alive} '
                   f'steps={int(step0)} dt={_time.perf_counter()-_t0:.3f}s',
                   flush=True)
-        cur = pos.shape[0]
         if n_alive > 0 and cur > min_bucket:
             m = _bucket_for(n_alive, min_bucket)
             if m < cur:
