@@ -58,25 +58,39 @@ def main():
         return get_above_threshold_speed(w, 0.75)
 
     dirns = np.arange(8, dtype=np.float32) * 45.
-    updraft_for_dirn(dirns[0]).block_until_ready()  # compile
+
+    @jax.jit
+    def updraft_sweep(ds):
+        # one dispatch for the whole direction sweep (the seasonal
+        # production pattern): per-call timing through the tunnel is
+        # ~150 ms of RTT around ~1 ms of compute
+        return jnp.sum(jax.vmap(updraft_for_dirn)(ds))
+
+    dirns_j = jnp.asarray(dirns)
+    np.asarray(updraft_sweep(dirns_j))  # compile
+    # np.asarray of a scalar depending on ALL outputs is the sync
+    # barrier: block_until_ready does not reliably sync on axon
     t0 = time.perf_counter()
-    for d in dirns:
-        w = updraft_for_dirn(d)
-    w.block_until_ready()
+    np.asarray(updraft_sweep(dirns_j))
     dt_updraft = time.perf_counter() - t0
     gridpoints_per_sec = 8 * nrow * ncol / dt_updraft
 
     conductivity = updraft_for_dirn(270.)
 
-    # --- directional potential (device multigrid) ---
-    solve = lambda: solve_potential_for_direction(
-        conductivity, 0., tol=1e-6, maxiter=100)
+    # --- directional potential: the production 'auto' path (refined
+    # device solver incl. its per-solve host prep) ---
+    from ssrs_tpu.potential import solve_potential_refined
+    from ssrs_tpu.potential.boundary import boundary_masks
+    bmask, bvals = boundary_masks(0., (nrow, ncol))
+    cond_np = np.asarray(conductivity)
+    solve = lambda: solve_potential_refined(cond_np, bmask, bvals)
     pot, _ = solve()
-    pot.block_until_ready()  # compile+run
+    np.asarray(pot)  # compile+run
     t0 = time.perf_counter()
     pot, resid = solve()
-    pot.block_until_ready()
+    pot = np.asarray(pot)
     dt_potential = time.perf_counter() - t0
+    pot = jnp.asarray(pot)
 
     # --- track simulation: the headline metric ---
     rows, cols = get_starting_indices(
