@@ -670,14 +670,14 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     # Raising tail_bucket trades dead-slot waste for saved ~50 ms/chunk
     # host RTTs; measured on the bench decay, an earlier switch (12x
     # min_bucket) LOSES — per-step cost at a 12k bucket is ~128 us and
-    # the survivors run thousands more steps — so the default stays at
-    # min_bucket.
-    if tail_bucket <= 0:
+    # the survivors run thousands more steps — so the default (0) maps
+    # to min_bucket. Negative disables the tail entirely (testing).
+    if tail_bucket == 0:
         tail_bucket = min_bucket
     while int(step0) < params.nsteps and n_alive > 0:
         _t0 = _time.perf_counter()
         cur = pos.shape[0]
-        if cur <= max(min_bucket, tail_bucket):
+        if tail_bucket > 0 and cur <= max(min_bucket, tail_bucket):
             # no further compaction possible: run the whole remainder in
             # one dispatch (device-side early exit)
             pos, mem, alive, key_c, presence, step0, n_alive_dev = \

@@ -123,3 +123,25 @@ def test_chunk_hist_bit_identical_to_scatter(rng, monkeypatch):
     assert int(s1) == int(s2)
     np.testing.assert_array_equal(np.asarray(p_scatter),
                                   np.asarray(p_hist))
+
+
+def test_tail_runner_bit_identical_to_chunked(rng):
+    """With compaction disabled (min_bucket >= N), the one-dispatch tail
+    runner applies the same step/key sequence as the chunked host loop,
+    so presence counts must be bit-identical."""
+    n = 1500
+    starts = _starts(n, rng)
+    updraft, potential = _fields()
+    params = _params(nsteps=256)
+    # tail path from the very first iteration
+    p_tail, s_tail = simulate_presence_compacting(
+        params, starts, jax.random.key(11), updraft=updraft,
+        potential=potential, chunk=64, min_bucket=2048)
+    # chunked path: same no-compaction setup, tail disabled (negative
+    # threshold) so the host loop dispatches every chunk
+    p_chunk, s_chunk = simulate_presence_compacting(
+        params, starts, jax.random.key(11), updraft=updraft,
+        potential=potential, chunk=64, min_bucket=2048, tail_bucket=-1)
+    assert int(s_tail) == int(s_chunk)
+    np.testing.assert_array_equal(np.asarray(p_tail),
+                                  np.asarray(p_chunk))
