@@ -109,13 +109,20 @@ def main():
         return presence, steps
 
     presence, steps = run(jax.random.key(0))
-    presence.block_until_ready()  # compile + first run
-    t0 = time.perf_counter()
-    presence, steps = run(jax.random.key(1))
-    presence.block_until_ready()
-    dt_sim = time.perf_counter() - t0
+    np.asarray(presence)  # compile + first run (host-synced driver)
+    # median of 3 warm runs: the short (<1 s) workload is sensitive to
+    # the ~50 ms/dispatch tunnel RTT jitter (+-10% run to run)
+    times, results = [], []
+    for i in (1, 2, 3):
+        t0 = time.perf_counter()
+        presence, steps = run(jax.random.key(1))
+        total = int(np.asarray(presence).astype(np.int64).sum())
+        times.append(time.perf_counter() - t0)
+        results.append((total, steps))
+    order = int(np.argsort(times)[len(times) // 2])
+    dt_sim = times[order]
+    total_presence, steps = results[order]
 
-    total_presence = np.asarray(presence).astype(np.int64).sum()
     agent_steps = int(total_presence) - n_tracks  # moves made
     steps_per_sec = agent_steps / dt_sim
 
