@@ -2,11 +2,13 @@
 many wind-field cases x 1000 tracks on an Appalachian-scale grid
 (1200x1400 @50 m), all cases advancing together via the batched engine.
 
-Measured (v5e, 24 cases): all 24 simulations complete in ~3.7 s
-(63.6M agent-steps); the fields_seconds figure is dominated by one-time
-XLA compiles at this grid size — warm per-case field+potential prep is
-well under a second (vmapping the solver across cases was tested and is
-no faster than the serial async queue)."""
+Measured (v5e, 24 cases): all 24 simulations complete in ~4.9 s
+(32.5M agent-steps with the reference-exact potential — tracks reach
+the boundary sooner than under the legacy row-normalized solve).
+Potential fields go through the production refined solver; warm
+per-case prep is ~1.8 s (updraft 0.3 + labels 0.1 + tile hierarchy 0.4
++ device solve 1.0), with one-time XLA compiles per (shape,
+island-bucket) combination on top of the first run."""
 
 import json
 import os
@@ -28,7 +30,8 @@ def main():
                                  simulate_presence_cases)
     from ssrs_tpu.fields import (get_above_threshold_speed,
                                  orographic_updraft_from_dem)
-    from ssrs_tpu.potential import solve_potential_for_direction
+    from ssrs_tpu.potential import solve_potential_refined
+    from ssrs_tpu.potential.boundary import boundary_masks
 
     nrow, ncol, res = 1200, 1400, 50.0
     n_cases = int(os.environ.get('SSRS_SEASONAL_CASES', 24))
@@ -52,9 +55,10 @@ def main():
             dem, res, speed * jnp.ones((nrow, ncol), jnp.float32),
             dirn * jnp.ones((nrow, ncol), jnp.float32))
         cond = get_above_threshold_speed(w, 0.75)
-        pot, _ = solve_potential_for_direction(cond, 0., tol=1e-6,
-                                               maxiter=60)
-        tables.append(prepared_weights(cond, pot, dirp, 'bfloat16'))
+        bmask, bvals = boundary_masks(0., (nrow, ncol))
+        pot, _ = solve_potential_refined(np.asarray(cond), bmask, bvals)
+        tables.append(prepared_weights(cond, jnp.asarray(pot), dirp,
+                                       'bfloat16'))
     tables = jnp.stack(tables)
     tables.block_until_ready()
     dt_fields = time.perf_counter() - t0

@@ -365,9 +365,13 @@ def _build_tile_level(labels: np.ndarray):
     flat = slots.ravel()
     sidx = np.nonzero(flat)[0].astype(np.int32)
     sisland = flat[sidx].astype(np.int32)
-    S = 64
+    # quantize S in powers of 4: S only sizes tiny routing vectors, and
+    # every distinct (num, L, S) combination is a separate XLA compile —
+    # a seasonal sweep with per-case fields was paying ~2-4 min per
+    # combination (measured: 24 cases cost 800 s of mostly compiles)
+    S = 256
     while S < len(sidx):
-        S *= 2
+        S *= 4
     pad = S - len(sidx)
     sidx = np.pad(sidx, (0, pad))
     sisland = np.pad(sisland, (0, pad))
@@ -735,10 +739,11 @@ def solve_potential_refined(conductivity, bmask, bvals, tol: float = 1e-7,
     (compiled once per (shape, island-bucket, slot-bucket) tuple)."""
     bmask_np = np.asarray(bmask, bool)
     labels_np, k = island_labels(np.asarray(conductivity), bmask_np)
-    # quantize the segment count so recompiles are rare across fields
-    num = 64
+    # quantize the segment count in powers of 4 so recompiles are rare
+    # across fields (num only sizes (num,)-length vectors)
+    num = 256
     while num < k + 1:
-        num *= 2
+        num *= 4
     tiles = build_tile_hierarchy(labels_np, bmask_np)
     return _solve_refined_jit(
         jnp.asarray(conductivity, jnp.float32), jnp.asarray(bmask_np),

@@ -33,6 +33,13 @@ class MGLevel(NamedTuple):
     shape: Tuple[int, int]
 
 
+def _block_sum(x: jax.Array) -> jax.Array:
+    """2x2/2 reduce_window — stride-2 slices lane-shuffle on TPU
+    (~200 ms at 16.8M cells, measured in scripts/exp_rp.py)."""
+    return jax.lax.reduce_window(x, 0., jax.lax.add, (2, 2), (2, 2),
+                                 'VALID')
+
+
 def _coarsen_field(x: jax.Array) -> jax.Array:
     """2x2 block average; odd trailing row/col replicated first."""
     nrow, ncol = x.shape
@@ -40,7 +47,7 @@ def _coarsen_field(x: jax.Array) -> jax.Array:
         x = jnp.concatenate([x, x[-1:, :]], axis=0)
     if ncol % 2:
         x = jnp.concatenate([x, x[:, -1:]], axis=1)
-    return 0.25 * (x[::2, ::2] + x[1::2, ::2] + x[::2, 1::2] + x[1::2, 1::2])
+    return 0.25 * _block_sum(x)
 
 
 def _coarsen_mask(bmask: jax.Array) -> jax.Array:
@@ -50,8 +57,7 @@ def _coarsen_mask(bmask: jax.Array) -> jax.Array:
         bmask = jnp.concatenate([bmask, bmask[-1:, :]], axis=0)
     if ncol % 2:
         bmask = jnp.concatenate([bmask, bmask[:, -1:]], axis=1)
-    return (bmask[::2, ::2] | bmask[1::2, ::2] |
-            bmask[::2, 1::2] | bmask[1::2, 1::2])
+    return _block_sum(bmask.astype(jnp.float32)) > 0.
 
 
 def _prolong(e: jax.Array, fine_shape: Tuple[int, int]) -> jax.Array:
@@ -69,9 +75,22 @@ def _prolong(e: jax.Array, fine_shape: Tuple[int, int]) -> jax.Array:
     f10 = (9. * c + 3. * down + 3. * left + dl) * (1. / 16.)
     f11 = (9. * c + 3. * down + 3. * right + dr) * (1. / 16.)
     m, n = e.shape
-    out = jnp.stack([jnp.stack([f00, f01], axis=-1),
-                     jnp.stack([f10, f11], axis=-1)], axis=-2)
-    out = out.transpose(0, 2, 1, 3).reshape(2 * m, 2 * n)
+    # interleave via 0/1 selector matmuls (MXU): the stack/transpose/
+    # reshape formulation interleaves the 128-lane minor axis
+    P = jax.lax.Precision.HIGHEST
+
+    def sel(m2, mm, parity):
+        r = jax.lax.broadcasted_iota(jnp.int32, (m2, mm), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (m2, mm), 1)
+        return ((r % 2 == parity) & (r // 2 == c)).astype(e.dtype)
+
+    out = jnp.zeros((2 * m, 2 * n), e.dtype)
+    for (a, b), f in (((0, 0), f00), ((0, 1), f01),
+                      ((1, 0), f10), ((1, 1), f11)):
+        ra = sel(2 * m, m, a)
+        cb = sel(2 * n, n, b)
+        out = out + jnp.matmul(jnp.matmul(ra, f, precision=P), cb.T,
+                               precision=P)
     return out[:fine_shape[0], :fine_shape[1]]
 
 
