@@ -395,14 +395,14 @@ def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
     bm = np.asarray(bmask, bool)
     while True:
         lidx, slots, sidx, sisland = _build_tile_level(lab)
-        out.append(TileSeg(
-            lidx=jnp.asarray(lidx), slots=jnp.asarray(slots),
-            sidx=jnp.asarray(sidx), sisland=jnp.asarray(sisland),
-            labels=jnp.asarray(lab)))
+        out.append(TileSeg(lidx=lidx, slots=slots, sidx=sidx,
+                           sisland=sisland, labels=lab))
         if min(lab.shape) <= min_size:
             break
         lab, bm = _host_coarsen_labels(lab, bm)
-    return out
+    # ONE batched device_put for the whole hierarchy: per-array
+    # transfers each pay a tunnel round trip (~40 arrays per solve)
+    return jax.device_put(out)
 
 
 # ---- level hierarchy --------------------------------------------------------
