@@ -672,6 +672,9 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     # min_bucket) LOSES — per-step cost at a 12k bucket is ~128 us and
     # the survivors run thousands more steps — so the default (0) maps
     # to min_bucket. Negative disables the tail entirely (testing).
+    # Positive values below min_bucket are equivalent to min_bucket: the
+    # bucket never shrinks below min_bucket, so the cur <= max(...) switch
+    # condition floors tail_bucket there.
     if tail_bucket == 0:
         tail_bucket = min_bucket
     while int(step0) < params.nsteps and n_alive > 0:

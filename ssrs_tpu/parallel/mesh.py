@@ -64,9 +64,13 @@ def sharded_presence_fn(params: TrackParams, mesh: Mesh,
     ``psum`` + one step-count ``pmax`` and nothing else.
     """
 
+    if has_potential and not has_updraft:
+        raise ValueError('potential requires updraft (the fluidflow '
+                         'weight table is built from both)')
+
     def shard_body(starts_l, valid_l, key_r, *fields):
         updraft_r = fields[0] if has_updraft else None
-        potential_r = fields[1] if has_potential else None
+        potential_r = fields[int(has_updraft)] if has_potential else None
         # distinct per-device stream, deterministic for a fixed mesh size
         key_l = jax.random.fold_in(key_r, jax.lax.axis_index('agents'))
         presence, steps = simulate_presence(

@@ -224,7 +224,7 @@ def _prolong_pc(e: jax.Array, fine_shape: Tuple[int, int]) -> jax.Array:
 #     dictionary of the distinct labels it touches (slot 0 is always
 #     background 0);
 #   - ``lidx`` maps each cell to its tile-local slot; a one-hot over slots
-#     (materialized per solve on device, bf16) turns per-slot sums and
+#     (materialized per solve on device, f32) turns per-slot sums and
 #     broadcasts into batched matmuls that stream at HBM bandwidth;
 #   - a compacted list of *active* slots (``sidx``/``sisland``) routes the
 #     tiny per-slot partials to/from global island ids with S-sized
@@ -378,14 +378,6 @@ def _build_tile_level(labels: np.ndarray):
     return lidx, slots, sidx, sisland
 
 
-def _num_levels(shape: Tuple[int, int], min_size: int = 4) -> int:
-    n = 1
-    while min(shape) > min_size:
-        shape = ((shape[0] + 1) // 2, (shape[1] + 1) // 2)
-        n += 1
-    return n
-
-
 def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
                          min_size: int = 4) -> List[TileSeg]:
     """Host: per-level tile dictionaries for the whole V-cycle hierarchy
@@ -412,7 +404,7 @@ class LapLevel(NamedTuple):
     planes: jax.Array   # (8, nrow, ncol) difference-form edge weights
     notb: jax.Array     # (nrow, ncol) 1.0 where NOT Dirichlet
     dinv: jax.Array     # (nrow, ncol) 1/sum_d W_d (0 where D == 0)
-    onehot: jax.Array   # (T, C, L) bf16 tile-slot one-hot
+    onehot: jax.Array   # (T, C, L) f32 tile-slot one-hot (see _onehot_slots)
     sidx: jax.Array     # (S,) active-slot flat indices
     sisland: jax.Array  # (S,) island id per active slot
     zaz_inv: jax.Array  # (num,) 1/(z_I^T A z_I); index 0 unused
@@ -484,8 +476,9 @@ def _deflate(level: LapLevel, u: jax.Array, rhs: jax.Array) -> jax.Array:
     EVERY level of the cycle: island-level modes whose wavelength spans
     many islands are only multigrid-convergent if the coarse grids can
     move island levels too (measured: fine-level-only deflation leaves a
-    ~0.99/cycle stall on 100+-island fields). bf16 tile matmuls: inside
-    the preconditioner, 0.4% relative is irrelevant."""
+    ~0.99/cycle stall on 100+-island fields). The tile matmuls run f32 at
+    HIGHEST precision: the correction divides by zaz ~ 1e-8, amplifying
+    sum errors ~1e8x (bf16 pushed final residuals 1e-7 -> 3e-4)."""
     r = (rhs - _apply_lap(level.planes, u)) * level.notb
     num = level.zaz_inv.shape[0]
     rsum = _tile_segsum(r, level.onehot, level.sidx, level.sisland, num)

@@ -3,9 +3,9 @@
 Mirrors ssrs/utils.py: sunrise/sunset, GIS figure axes, extent/bounds,
 directory helpers, elapsed-time formatting. astral/timezonefinder are not
 installed here, so sunrise/sunset uses the NOAA solar-position algorithm
-directly with a longitude-derived UTC offset (exact solar math; timezone
-offset approximated as round(lon/15), which is what the hour-granular
-seasonal sampler actually needs)."""
+directly, with the local UTC offset resolved through a bundled CONUS
+timezone table + stdlib zoneinfo (DST-aware; ``round(lon/15)`` fallback
+outside CONUS)."""
 
 from __future__ import annotations
 
@@ -46,19 +46,95 @@ def _solar_noon_and_halfday(lon: float, lat: float,
     return noon_utc, halfday_hours
 
 
+def conus_timezone_name(lon: float, lat: float) -> str | None:
+    """IANA timezone name for a CONUS lon/lat, or None outside CONUS.
+
+    The reference resolves this with timezonefinder (ssrs/utils.py:15-29);
+    that package is unavailable offline, so this is a bundled piecewise
+    approximation of the four CONUS zone boundaries (plus the Arizona
+    no-DST exception). The boundary meridians vary with latitude to track
+    the real political lines (NV is Pacific, NM is Mountain, IN is
+    Eastern, the El Paso and FL-panhandle splits); accuracy is within ~1
+    degree of longitude of the true squiggle, which is exact for the
+    reference's example regions (Altamont CA, WY, Appalachian WV/PA) and
+    off by at most one zone within ~100 km of a boundary.
+    """
+    if not (-125.0 <= lon <= -66.0 and 24.0 <= lat <= 50.0):
+        return None
+    # Arizona: Mountain Standard Time year-round
+    if -114.85 <= lon <= -109.05 and 31.3 <= lat <= 37.0:
+        return 'America/Phoenix'
+    # Pacific/Mountain boundary
+    if lat > 42.0:
+        lon_pm = -117.0       # OR-ID line; southern ID is Mountain
+    elif lat >= 35.0:
+        lon_pm = -114.05      # NV/UT and NV/AZ lines
+    else:
+        lon_pm = -114.5       # CA/AZ Colorado-river border
+    if lon < lon_pm:
+        return 'America/Los_Angeles'
+    # Mountain/Central boundary
+    if lat >= 46.0:
+        lon_mc = -104.0       # MT/ND line
+    elif lat >= 43.0:
+        lon_mc = -101.0       # SD splits mid-state
+    elif lat >= 40.0:
+        lon_mc = -101.5       # NE splits
+    elif lat >= 37.0:
+        lon_mc = -102.0       # western KS counties
+    elif lat >= 32.0:
+        lon_mc = -103.0       # NM (Mountain) / TX (Central) line
+    else:
+        lon_mc = -105.0       # far-west TX (El Paso) is Mountain
+    if lon < lon_mc:
+        return 'America/Denver'
+    # Central/Eastern boundary
+    if lat >= 41.7:
+        lon_ce = -87.6        # WI Central / MI Eastern (Lake Michigan)
+    elif lat >= 38.0:
+        lon_ce = -87.5        # IL/IN line
+    elif lat >= 35.0:
+        lon_ce = -86.3        # TN/KY split mid-state
+    elif lat >= 31.0:
+        lon_ce = -85.0        # AL/GA line
+    else:
+        lon_ce = -85.2        # FL panhandle split
+    if lon < lon_ce:
+        return 'America/Chicago'
+    return 'America/New_York'
+
+
+def utc_offset_hours(lon: float, lat: float, this_date: date) -> float:
+    """UTC offset (hours, DST-aware) at a lon/lat on a date.
+
+    Uses the bundled CONUS zone table + the system tzdata (stdlib
+    zoneinfo), matching the reference's timezonefinder+astral behavior
+    including daylight-saving transitions; falls back to the solar
+    ``round(lon / 15)`` offset outside CONUS or without tzdata."""
+    name = conus_timezone_name(lon, lat)
+    if name is not None:
+        try:
+            from zoneinfo import ZoneInfo
+            noon = datetime.combine(this_date, time(12, 0),
+                                    tzinfo=ZoneInfo(name))
+            return noon.utcoffset().total_seconds() / 3600.0
+        except Exception:  # no tzdata on this system
+            pass
+    return float(round(lon / 15.0))
+
+
 def get_sunrise_sunset_time(this_lonlat: Tuple[float, float],
                             this_date: date) -> Tuple[time, time]:
     """Local-time sunrise/sunset (API parity with ssrs/utils.py:15-29).
 
-    Local timezone offset is approximated as round(lon / 15) hours; the
-    seasonal sampler consumes only whole hours of these times
-    (ssrs/simulator.py:733-748), so this is adequate without
-    timezonefinder."""
+    The solar math is NOAA's; the local offset comes from the bundled
+    CONUS timezone table + tzdata (DST-aware, matching the reference's
+    timezonefinder+astral to the accuracy of the zone-boundary table)."""
     if not isinstance(this_date, date):
         raise ValueError('Provide a valid datetime.date object')
     lon, lat = this_lonlat
     noon_utc, halfday = _solar_noon_and_halfday(lon, lat, this_date)
-    tz_offset = round(lon / 15.0)
+    tz_offset = utc_offset_hours(lon, lat, this_date)
     rise = noon_utc - halfday + tz_offset
     sset = noon_utc + halfday + tz_offset
 

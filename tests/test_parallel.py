@@ -58,7 +58,7 @@ def test_sharded_fluidflow(rng):
     updraft = (1.0 + 0.8 * np.sin(x) * np.sin(y)).astype(np.float32)
     potential = (np.linspace(1000., 0., nrow)[:, None]
                  * np.ones((1, ncol))).astype(np.float32)
-    n = 4096
+    n = 16384
     starts = np.stack([rng.integers(3, 6, n), rng.integers(20, 30, n)],
                       axis=1).astype(np.int32)
     presence, _ = simulate_presence_sharded(
@@ -67,15 +67,35 @@ def test_sharded_fluidflow(rng):
     presence = np.asarray(presence)
     assert presence.sum() > n
     # statistical agreement with the single-device engine: different RNG
-    # partitioning -> distributional comparison, but with 4096 agents the
-    # row/col marginals must agree tightly (L1 over marginals; sampling
-    # noise at this n measures ~0.01-0.03)
+    # partitioning -> distributional comparison; at 16k agents the
+    # marginal L1 tolerance sits within quoted sampling noise (two
+    # independent single-device seeds measure ~0.01-0.02 here)
     p_single, _ = simulate_presence(_params(), starts, jax.random.key(7),
                                     updraft=updraft, potential=potential)
     a = presence / presence.sum()
     b = np.asarray(p_single) / np.asarray(p_single).sum()
-    assert np.abs(a.sum(axis=1) - b.sum(axis=1)).sum() < 0.08
-    assert np.abs(a.sum(axis=0) - b.sum(axis=0)).sum() < 0.08
+    assert np.abs(a.sum(axis=1) - b.sum(axis=1)).sum() < 0.03
+    assert np.abs(a.sum(axis=0) - b.sum(axis=0)).sum() < 0.03
+    # and a KS statistic on the row-marginal CDFs
+    ks = np.abs(np.cumsum(a.sum(axis=1)) - np.cumsum(b.sum(axis=1))).max()
+    assert ks < 0.01
+
+
+def test_sharded_deterministic_two_mesh_sizes(rng):
+    """Seeded bit-determinism of the sharded engine at two mesh sizes
+    (results differ ACROSS mesh sizes by design — per-device streams —
+    but must be exactly reproducible at each)."""
+    n = 256
+    starts = np.stack([rng.integers(3, 6, n), rng.integers(20, 30, n)],
+                      axis=1).astype(np.int32)
+    for ndev in (2, 8):
+        mesh = make_mesh(ndev)
+        p1, s1 = simulate_presence_sharded(_params(), starts,
+                                           jax.random.key(11), mesh=mesh)
+        p2, s2 = simulate_presence_sharded(_params(), starts,
+                                           jax.random.key(11), mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        assert int(s1) == int(s2)
 
 
 def test_collective_schedule_is_one_psum(rng):

@@ -8,17 +8,66 @@ from datetime import date, datetime
 import numpy as np
 import pytest
 
-from ssrs_tpu.utils import (get_seasonal_datetimes_list,
-                            get_sunrise_sunset_time)
+from ssrs_tpu.utils import (conus_timezone_name,
+                            get_seasonal_datetimes_list,
+                            get_sunrise_sunset_time, utc_offset_hours)
 
 
 def test_sunrise_sunset_wyoming_summer():
     """WY (~-106E, 42.8N) summer solstice: sunrise ~5:30-6:00, sunset
-    ~20:30-21:00 local (UTC-7 by the lon/15 rule)."""
+    ~20:30-21:00 MDT (UTC-6, daylight time)."""
     srise, sset = get_sunrise_sunset_time((-106.21, 42.78),
                                           date(2012, 6, 20))
-    assert 4 <= srise.hour <= 6
-    assert 19 <= sset.hour <= 21
+    assert 5 <= srise.hour <= 6
+    assert 20 <= sset.hour <= 21
+
+
+# (lonlat of the three reference example regions, IANA zone, DST offset,
+# standard offset) — the zone resolution the reference gets from
+# timezonefinder; offsets are what astral would fold into its local times
+_REGIONS = [
+    ((-121.98, 37.56), 'America/Los_Angeles', -7., -8.),   # Altamont CA
+    ((-79.7, 39.), 'America/New_York', -4., -5.),          # Appalachian
+    ((-106.21, 42.78), 'America/Denver', -6., -7.),        # WY "jem"
+]
+
+
+@pytest.mark.parametrize('lonlat,zone,dst_off,std_off', _REGIONS)
+def test_example_region_timezones(lonlat, zone, dst_off, std_off):
+    lon, lat = lonlat
+    assert conus_timezone_name(lon, lat) == zone
+    assert utc_offset_hours(lon, lat, date(2010, 7, 1)) == dst_off
+    assert utc_offset_hours(lon, lat, date(2010, 1, 15)) == std_off
+
+
+@pytest.mark.parametrize('lonlat,srise_ref,sset_ref', [
+    # NOAA-table local times, summer solstice 2010 (DST in effect)
+    ((-121.98, 37.56), (5, 46), (20, 33)),
+    ((-79.7, 39.), (5, 52), (20, 48)),
+    ((-106.21, 42.78), (5, 25), (20, 47)),
+])
+def test_example_region_sunrise_within_15min(lonlat, srise_ref, sset_ref):
+    """Sunrise/sunset pinned within +-15 min of NOAA-table local times for
+    every reference example region (the VERDICT r2 acceptance bar for the
+    timezone approximation)."""
+    srise, sset = get_sunrise_sunset_time(lonlat, date(2010, 6, 21))
+
+    def mins(t):
+        return t.hour * 60 + t.minute
+    assert abs(mins(srise) - (srise_ref[0] * 60 + srise_ref[1])) <= 15
+    assert abs(mins(sset) - (sset_ref[0] * 60 + sset_ref[1])) <= 15
+
+
+def test_tz_arizona_no_dst():
+    assert conus_timezone_name(-112.07, 33.45) == 'America/Phoenix'
+    assert utc_offset_hours(-112.07, 33.45, date(2010, 7, 1)) == -7.
+    assert utc_offset_hours(-112.07, 33.45, date(2010, 1, 1)) == -7.
+
+
+def test_tz_outside_conus_falls_back_to_solar():
+    # mid-Atlantic: no CONUS zone, lon/15 rule
+    assert conus_timezone_name(-40., 45.) is None
+    assert utc_offset_hours(-40., 45., date(2010, 7, 1)) == -3.
 
 
 def test_sunrise_sunset_winter_shorter_day():
