@@ -45,10 +45,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fused_kernel(tabT_ref, dirp_ref, base_ref, pr_ref, pc_ref,
-                  r_ref, c_ref, alive_ref, mem_ref, u_ref,
+                  r_ref, c_ref, alive_ref, palive_ref, mem_ref, u_ref,
                   nr_ref, nc_ref, nmem_ref, hist_ref, acc_ref,
                   *, nu: float, memory_k: int, nrow_p: int, ncol_p: int,
-                  oh_dtype):
+                  oh_dtype, hist_mode: str, hist_src: str):
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
     blk = r_ref.shape[0]
@@ -123,9 +123,58 @@ def _fused_kernel(tabT_ref, dirp_ref, base_ref, pr_ref, pc_ref,
 
     # presence histogram: one-hots built in VMEM, MXU product, VMEM
     # accumulate; dead agents contribute nothing via the row one-hot
-    ohr_t = ((new_r[None, :] == jax.lax.broadcasted_iota(
-        jnp.int32, (nrow_p, blk), 0)) & alive[None, :]).astype(oh_dtype)
-    oh_c = (new_c[:, None] == jax.lax.broadcasted_iota(
+    if hist_mode == 'none':
+        @pl.when(i == n_i - 1)
+        def _():
+            hist_ref[:] = jnp.zeros_like(hist_ref)
+        return
+    if hist_src == 'cur':
+        # delayed histogram: count the CARRIED position with the
+        # previous step's alive mask (exactness: the multiset of counted
+        # (pos, alive) pairs is the original shifted by one step; the
+        # driver adds the final positions once after the loop). Breaks
+        # the sample -> histogram dependency inside the step.
+        h_r, h_c, h_alive = r_ref[:], c_ref[:], palive_ref[:] != 0
+    else:
+        h_r, h_c, h_alive = new_r, new_c, alive
+    if hist_mode.startswith('lanes'):
+        # both one-hots in natural layout (agents on lanes), contraction
+        # over the lane axis; accumulator is transposed (ncol_p, nrow_p).
+        # The dead-agent mask folds into the row VALUE (-1 matches no
+        # one-hot row) — one (BLK,) select instead of an
+        # (nrow_p, BLK) AND pass
+        rm = jnp.where(h_alive, h_r, -1)
+        ohr = (rm[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (nrow_p, blk), 0)).astype(oh_dtype)
+        ohc = (h_c[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (ncol_p, blk), 0)).astype(oh_dtype)
+        acc_ref[:] += jax.lax.dot_general(
+            ohc, ohr, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_ref.dtype)
+
+        @pl.when(i == n_i - 1)
+        def _():
+            hist_ref[:] = acc_ref[:].astype(jnp.int32).T
+        return
+    if hist_mode == 'buildsum':
+        # diagnostic: one-hot build cost without the MXU product
+        ohr = ((h_r[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (nrow_p, blk), 0)) & h_alive[None, :]).astype(
+                oh_dtype)
+        ohc = (h_c[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (ncol_p, blk), 0)).astype(oh_dtype)
+        acc_ref[0:1, 0:1] += (
+            jnp.sum(ohr.astype(jnp.float32)) +
+            jnp.sum(ohc.astype(jnp.float32))).reshape(1, 1).astype(
+                acc_ref.dtype)
+
+        @pl.when(i == n_i - 1)
+        def _():
+            hist_ref[:] = acc_ref[:].astype(jnp.int32).T
+        return
+    ohr_t = ((h_r[None, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (nrow_p, blk), 0)) & h_alive[None, :]).astype(oh_dtype)
+    oh_c = (h_c[:, None] == jax.lax.broadcasted_iota(
         jnp.int32, (blk, ncol_p), 1)).astype(oh_dtype)
     acc_ref[:] += jax.lax.dot_general(
         ohr_t, oh_c, (((1,), (0,)), ((), ())),
@@ -139,14 +188,16 @@ def _fused_kernel(tabT_ref, dirp_ref, base_ref, pr_ref, pc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=('nu', 'memory_k', 'grid_shape', 'blk', 'oh_bits',
-                     'interpret'))
+                     'hist_mode', 'hist_src', 'interpret'))
 def fused_step_call(tabT: jax.Array, dirp: jax.Array, base: jax.Array,
                     pr: jax.Array, pc: jax.Array,
                     r: jax.Array, c: jax.Array, alive_i32: jax.Array,
+                    palive_i32: jax.Array,
                     mem: jax.Array, u: jax.Array,
                     nu: float, memory_k: int,
                     grid_shape: Tuple[int, int],
-                    blk: int = 2048, oh_bits: int = 8,
+                    blk: int = 1024, oh_bits: int = 8,
+                    hist_mode: str = 'lanes', hist_src: str = 'new',
                     interpret: bool = False):
     """One fused agent-step over the whole population.
 
@@ -181,7 +232,8 @@ def fused_step_call(tabT: jax.Array, dirp: jax.Array, base: jax.Array,
 
     kern = functools.partial(
         _fused_kernel, nu=float(nu), memory_k=memory_k,
-        nrow_p=nrow_p, ncol_p=ncol_p, oh_dtype=oh_dtype)
+        nrow_p=nrow_p, ncol_p=ncol_p, oh_dtype=oh_dtype,
+        hist_mode=hist_mode, hist_src=hist_src)
 
     def vec():
         return pl.BlockSpec((blk,), lambda i: (i,),
@@ -199,7 +251,7 @@ def fused_step_call(tabT: jax.Array, dirp: jax.Array, base: jax.Array,
             const((9, 1)),                                   # dirp
             pl.BlockSpec((9, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),           # base
-            vec(), vec(), vec(), vec(), vec(),               # pr pc r c a
+            vec(), vec(), vec(), vec(), vec(), vec(),  # pr pc r c a pa
             pl.BlockSpec((k_eff, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),           # mem
             vec(),                                           # u
@@ -217,7 +269,10 @@ def fused_step_call(tabT: jax.Array, dirp: jax.Array, base: jax.Array,
             jax.ShapeDtypeStruct((k_eff, n), jnp.int32),
             jax.ShapeDtypeStruct((nrow_p, ncol_p), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((nrow_p, ncol_p), acc_dtype)],
+        scratch_shapes=[pltpu.VMEM(
+            (ncol_p, nrow_p) if (hist_mode.startswith('lanes')
+                                 or hist_mode == 'buildsum')
+            else (nrow_p, ncol_p), acc_dtype)],
         interpret=interpret,
-    )(tabT, dirp, base, pr, pc, r, c, alive_i32, mem, u)
+    )(tabT, dirp, base, pr, pc, r, c, alive_i32, palive_i32, mem, u)
     return new_r, new_c, new_mem, hist

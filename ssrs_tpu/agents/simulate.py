@@ -18,9 +18,31 @@ ssrs/simulator.py:360-381). On TPU the same stochastic process is a
   (statistically equivalent to ``np.random.choice``, ssrs/movmodel.py:312);
 - burn-in boundary pushes and boundary absorption are masks
   (ssrs/movmodel.py:276,285-291,205-217);
-- presence maps accumulate on device per step (one-hot MXU matmul
-  histogram or scatter-add, see TrackParams.presence_impl), so
-  100k x 10k trajectories never materialize.
+- presence maps accumulate on device per step, so 100k x 10k trajectories
+  never materialize.
+
+Presence accumulation is DELAYED BY ONE STEP in every engine: step t
+counts the *carried* position with the previous step's alive mask
+(``palive``), and the driver adds the final pending positions once at the
+end (and at compaction boundaries). The counted multiset of (position,
+alive) pairs is identical to counting each step's new position
+immediately — but it removes the sample->histogram data dependency inside
+the step, which lets the fused Pallas kernel (and XLA) overlap the MXU
+histogram with the next step's gather/cascade work.
+
+Step engines (``TrackParams.step_impl``):
+
+- ``'fused'``: ONE Pallas kernel per step does memory-mask, cascade,
+  sampling, move and the VMEM-resident one-hot histogram
+  (``agents/fused_step.py``); only the table gather stays in XLA (its
+  ~2 ns/row is an issue-rate floor a Pallas kernel cannot beat — Mosaic
+  has no per-lane dynamic VMEM gather). Measured 1.43x the XLA step at a
+  98k bucket on v5e (404 vs 578 us/step; scripts/exp_fused.py).
+- ``'xla'``: pure-XLA step (one-hot MXU matmul or scatter presence,
+  ``presence_impl``); used on CPU (tests, the multichip dryrun), for
+  grids whose histogram accumulator exceeds VMEM, and for DRW mode.
+- ``'auto'``: fused when on TPU, fluidflow (a weight table exists), and
+  the padded grid fits the VMEM accumulator budget; else xla.
 """
 
 from __future__ import annotations
@@ -34,6 +56,14 @@ import numpy as np
 
 from .moves import (CENTER_ZERO, NEIGHBOR_DELTAS, NEIGHBOR_NORMS_INV,
                     directional_probs, restriction_table)
+
+# agent-block size of the fused kernel; 1-D i32 operands are XLA-tiled
+# T(1024), so blocks (and therefore bucket sizes) must be multiples of it
+FUSED_BLK = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 class TrackParams(NamedTuple):
@@ -49,19 +79,48 @@ class TrackParams(NamedTuple):
     # relative weight quantization, which the presence statistics absorb
     # (verified in tests); use 'float32' for maximum fidelity.
     weight_dtype: str = 'bfloat16'
-    # presence accumulation: 'auto' = one-hot int8 MXU matmul histogram
-    # for grids with nrow+ncol <= 4096 (bit-identical to and ~25% faster
-    # end-to-end than XLA's serialized scatter-add), plain 'scatter' for
-    # larger grids (one-hot bandwidth scales with nrow+ncol). 'pallas'
-    # selects the VMEM-resident Pallas histogram kernel
-    # (agents/pallas_hist.py) per step — far higher standalone throughput
-    # but a wash inside the latency-chained scan. 'chunk-hist' (the
-    # compacting driver only) removes presence from the step entirely:
-    # the scan emits int16 position planes and ONE batched Pallas
-    # histogram per chunk produces the counts — exact, and amortizes the
-    # per-call latency chunk-fold. 'none' = no presence in the step (the
-    # caller accumulates).
+    # presence accumulation for the XLA step: 'auto' = one-hot int8 MXU
+    # matmul histogram for grids with nrow+ncol <= 4096 (exact, ~25%
+    # faster end-to-end than XLA's serialized scatter-add), plain
+    # 'scatter' for larger grids (one-hot bandwidth scales with
+    # nrow+ncol). 'none' = no presence in the step (caller accumulates).
+    # The measured-loser 'pallas'/'chunk-hist' impls were pruned in
+    # round 3 (negative results preserved in docs/DESIGN.md); the batch
+    # histogram kernel itself lives on in agents/pallas_hist.py.
     presence_impl: str = 'auto'
+    # step engine: 'auto' | 'fused' | 'xla' (see module docstring).
+    step_impl: str = 'auto'
+
+    @property
+    def padded_grid(self) -> Tuple[int, int]:
+        return (_round_up(self.grid_shape[0], 8),
+                _round_up(self.grid_shape[1], 128))
+
+
+def _fused_fits(params: TrackParams) -> bool:
+    """Whether the fused kernel's VMEM working set fits: the int32
+    accumulator + transposed output + one block of int8 one-hots,
+    conservatively under ~10 MB of the 16 MB budget."""
+    nrow_p, ncol_p = params.padded_grid
+    acc = nrow_p * ncol_p * 4
+    oh = (nrow_p + ncol_p) * FUSED_BLK * 4  # compares materialize i32
+    return 2 * acc + oh < 10 * 2 ** 20
+
+
+def resolve_step_impl(params: TrackParams, has_table: bool) -> str:
+    impl = params.step_impl
+    if impl == 'auto':
+        if (has_table and jax.default_backend() == 'tpu'
+                and _fused_fits(params)):
+            return 'fused'
+        return 'xla'
+    if impl in ('fused', 'fused-interpret'):
+        if not has_table:
+            return 'xla'   # DRW mode has no weight table
+        if not _fused_fits(params):
+            raise ValueError('fused step: grid too large for the VMEM '
+                             'histogram accumulator; use step_impl=xla')
+    return impl
 
 
 def harmonic_mean_weights(updraft: jax.Array,
@@ -124,12 +183,55 @@ def _push_from_boundary(r: jax.Array, c: jax.Array, nrow: int, ncol: int):
 
 
 class SimState(NamedTuple):
-    pos: jax.Array        # (N, 2) int32
-    mem: jax.Array        # (N, K) int32 move-index ring buffer (init 4)
+    pos_r: jax.Array      # (N,) int32 current row
+    pos_c: jax.Array      # (N,) int32 current col
+    mem: jax.Array        # (K, N) int32 move-index ring buffer (init 4),
+    #                       oldest move first (row 0)
     alive: jax.Array      # (N,) bool
+    palive: jax.Array     # (N,) int32: previous step's alive mask — the
+    #                       weight of the carried position in the pending
+    #                       (delayed) presence update
     key: jax.Array        # scalar PRNG key
-    presence: jax.Array   # (nrow, ncol) int32
+    presence: jax.Array   # (nrow_p, ncol_p) int32, tile-padded
     step: jax.Array       # scalar int32
+
+    @property
+    def pos(self) -> jax.Array:
+        """(N, 2) int32 view for trajectory emission."""
+        return jnp.stack([self.pos_r, self.pos_c], axis=1)
+
+
+def _hist_padded(r, c, weight_i32, nrow_p: int, ncol_p: int,
+                 use_matmul: bool) -> jax.Array:
+    """(nrow_p, ncol_p) int32 histogram of (r, c) with int32 weights."""
+    if use_matmul:
+        oh_r = jnp.where(weight_i32[:, None] != 0,
+                         (r[:, None] == jax.lax.broadcasted_iota(
+                             jnp.int32, (1, nrow_p), 1)).astype(jnp.int8),
+                         jnp.int8(0))
+        oh_c = (c[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, ncol_p), 1)).astype(jnp.int8)
+        return jax.lax.dot_general(
+            oh_r, oh_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    flat = r * ncol_p + c
+    return jnp.zeros((nrow_p * ncol_p,), jnp.int32).at[flat].add(
+        weight_i32, mode='promise_in_bounds').reshape(nrow_p, ncol_p)
+
+
+def flush_pending(params: TrackParams, state: SimState) -> SimState:
+    """Add the pending delayed-presence contribution (the carried
+    positions weighted by ``palive``) and zero ``palive`` so subsequent
+    steps cannot double-count. Call at the end of a run and before any
+    compaction/reordering of the agent axis."""
+    nrow_p, ncol_p = params.padded_grid
+    impl = params.presence_impl
+    use_matmul = (impl in ('auto', 'matmul') and
+                  sum(params.grid_shape) <= 4096)
+    upd = _hist_padded(state.pos_r, state.pos_c, state.palive,
+                       nrow_p, ncol_p, use_matmul)
+    return state._replace(presence=state.presence + upd,
+                          palive=jnp.zeros_like(state.palive))
 
 
 def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
@@ -142,10 +244,68 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
     ssrs/simulator.py:370-381).
 
     The returned ``step(state, u=None)`` accepts optional per-agent
-    uniforms in [0, 1); when None they are drawn from the carried key
-    (the chunked drivers hoist one big uniform draw per chunk instead).
+    uniforms in [0, 1); when None they are drawn from the carried key.
+    Presence is accumulated with the one-step delay described in the
+    module docstring — callers must :func:`flush_pending` at the end.
     """
+    impl = resolve_step_impl(params, base_flat is not None)
+    if impl in ('fused', 'fused-interpret'):
+        return _make_fused_step(params, base_flat, dirp, table,
+                                interpret=(impl == 'fused-interpret'))
+    return _make_xla_step(params, base_flat, dirp, table)
+
+
+def _alive_and_push(params: TrackParams, state: SimState):
     nrow, ncol = params.grid_shape
+    r, c = state.pos_r, state.pos_c
+    in_interior = (r > 0) & (r < nrow - 1) & (c > 0) & (c < ncol - 1)
+    past_burnin = state.step > params.burnin
+    under_cap = state.step < params.nsteps  # chunked loop may overshoot
+    alive = state.alive & (in_interior | ~past_burnin) & under_cap
+    pr, pc = jax.lax.cond(
+        past_burnin,
+        lambda rc: rc,
+        lambda rc: _push_from_boundary(rc[0], rc[1], nrow, ncol),
+        (r, c))
+    return alive, pr, pc
+
+
+def _make_fused_step(params: TrackParams, base_flat: jax.Array,
+                     dirp: jax.Array, table: jax.Array,
+                     interpret: bool = False):
+    from .fused_step import fused_step_call
+    nrow, ncol = params.grid_shape
+    tabT = jnp.asarray(table).T.astype(jnp.float32)
+    dirp_col = jnp.asarray(dirp)[:, None].astype(jnp.float32)
+
+    def step(state: SimState, u: Optional[jax.Array] = None) -> SimState:
+        n = state.pos_r.shape[0]
+        alive, pr, pc = _alive_and_push(params, state)
+        idx = pr * ncol + pc
+        base = base_flat.at[idx].get(mode='promise_in_bounds').T  # (9, N)
+        key = state.key
+        if u is None:
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub, (n,), dtype=jnp.float32)
+        new_r, new_c, new_mem, hist = fused_step_call(
+            tabT, dirp_col, base, pr, pc, state.pos_r, state.pos_c,
+            alive.astype(jnp.int32), state.palive, state.mem,
+            u.astype(jnp.float32),
+            nu=params.nu, memory_k=params.memory_k,
+            grid_shape=(nrow, ncol), blk=FUSED_BLK, oh_bits=8,
+            hist_mode='lanes', hist_src='cur', interpret=interpret)
+        return SimState(pos_r=new_r, pos_c=new_c, mem=new_mem,
+                        alive=alive, palive=alive.astype(jnp.int32),
+                        key=key, presence=state.presence + hist,
+                        step=state.step + 1)
+
+    return step
+
+
+def _make_xla_step(params: TrackParams, base_flat: Optional[jax.Array],
+                   dirp: jax.Array, table: jax.Array):
+    nrow, ncol = params.grid_shape
+    nrow_p, ncol_p = params.padded_grid
     deltas = jnp.asarray(NEIGHBOR_DELTAS)
     center0 = jnp.asarray(CENTER_ZERO)
     dirp_c0 = dirp * center0
@@ -163,16 +323,8 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
     dr_tab, dc_tab = deltas[:, 0], deltas[:, 1]
 
     def step(state: SimState, u: Optional[jax.Array] = None) -> SimState:
-        r, c = state.pos[:, 0], state.pos[:, 1]
-        in_interior = (r > 0) & (r < nrow - 1) & (c > 0) & (c < ncol - 1)
-        past_burnin = state.step > params.burnin
-        under_cap = state.step < params.nsteps  # chunked loop may overshoot
-        alive = state.alive & (in_interior | ~past_burnin) & under_cap
-        pr, pc = jax.lax.cond(
-            past_burnin,
-            lambda rc: rc,
-            lambda rc: _push_from_boundary(rc[0], rc[1], nrow, ncol),
-            (r, c))
+        r, c = state.pos_r, state.pos_c
+        alive, pr, pc = _alive_and_push(params, state)
 
         if params.memory_k > 0:
             # one-hot 9x9 matmul instead of jnp.take: XLA lowers the
@@ -180,16 +332,16 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
             # (~165 us/step at 100k agents, honest chained-scan timing in
             # scripts/ablate_step4.py); the tiny dot is ~free and exact
             # (0/1 entries, f32)
-            def _mask_for(col):
-                ohm = (col[None, :] == jax.lax.broadcasted_iota(
+            def _mask_for(row):
+                ohm = (row[None, :] == jax.lax.broadcasted_iota(
                     jnp.int32, (9, 1), 0)).astype(jnp.float32)
                 return jax.lax.dot_general(
                     table_T.astype(jnp.float32), ohm,
                     (((1,), (0,)), ((), ())))
 
-            mask = center0_T * _mask_for(state.mem[:, 0])
+            mask = center0_T * _mask_for(state.mem[0])
             for k in range(1, params.memory_k):
-                mask = mask * _mask_for(state.mem[:, k])
+                mask = mask * _mask_for(state.mem[k])
         else:
             mask = None
 
@@ -232,53 +384,29 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
 
         new_r = jnp.where(alive, pr + jnp.take(dr_tab, mi), r)
         new_c = jnp.where(alive, pc + jnp.take(dc_tab, mi), c)
-        new_pos = jnp.stack([new_r, new_c], axis=1)
 
         if params.memory_k > 0:
             new_mem = jnp.concatenate(
-                [state.mem[:, 1:], mi[:, None]], axis=1)
-            new_mem = jnp.where(alive[:, None], new_mem, state.mem)
+                [state.mem[1:], mi[None]], axis=0)
+            new_mem = jnp.where(alive[None], new_mem, state.mem)
         else:
             new_mem = state.mem
 
         impl = params.presence_impl
         if impl == 'auto':
-            # 'pallas' stays opt-in: its throughput is ~48x the XLA
-            # matmul when calls pipeline, but inside the sequential scan
-            # per-call latency dominates and end-to-end it's a wash
             impl = 'matmul' if (nrow + ncol) <= 4096 else 'scatter'
         if impl == 'none':
-            # presence handled outside the step (the chunk-batched
-            # histogram driver, _run_chunk_hist)
             presence = state.presence
-        elif impl == 'pallas':
-            from .pallas_hist import presence_histogram
-            upd = presence_histogram(new_r, new_c,
-                                     alive.astype(jnp.float32),
-                                     nrow, ncol)
-            presence = state.presence + upd
-        elif impl == 'matmul':
-            # histogram as OneHotRows^T @ OneHotCols on the MXU; exact
-            # int32 counts, dead agents zeroed via the row one-hot
-            oh_r = ((new_r[:, None] == jax.lax.broadcasted_iota(
-                jnp.int32, (1, nrow), 1)) & alive[:, None]
-            ).astype(jnp.int8)
-            oh_c = (new_c[:, None] == jax.lax.broadcasted_iota(
-                jnp.int32, (1, ncol), 1)).astype(jnp.int8)
-            upd = jax.lax.dot_general(
-                oh_r, oh_c, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            presence = state.presence + upd
         else:
-            # positions stay in [0, n-1] (boundary absorption), so the
-            # flattened index needs no clamp
-            flat = new_r * ncol + new_c
-            presence = state.presence.reshape(-1).at[flat].add(
-                alive.astype(jnp.int32), mode='promise_in_bounds'
-            ).reshape(nrow, ncol)
+            # delayed histogram of the CARRIED position (see module
+            # docstring); the driver flushes the final pending update
+            upd = _hist_padded(r, c, state.palive, nrow_p, ncol_p,
+                               use_matmul=(impl == 'matmul'))
+            presence = state.presence + upd
 
-        return SimState(pos=new_pos, mem=new_mem, alive=alive, key=key,
-                        presence=presence, step=state.step + 1)
+        return SimState(pos_r=new_r, pos_c=new_c, mem=new_mem,
+                        alive=alive, palive=alive.astype(jnp.int32),
+                        key=key, presence=presence, step=state.step + 1)
 
     return step
 
@@ -286,27 +414,57 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
 def init_state(params: TrackParams, start_rc: jax.Array,
                key: jax.Array,
                valid: Optional[jax.Array] = None) -> SimState:
-    """Initial state; the start cell counts toward presence (the reference
-    trajectory includes the start, ssrs/movmodel.py:281-283).
+    """Initial state. The start cell counts toward presence (the reference
+    trajectory includes the start, ssrs/movmodel.py:281-283) — it is the
+    first pending delayed update (``palive = valid``), added by the first
+    step or the final flush.
 
     ``valid`` marks real agents; padding agents (added to make the batch
-    divisible across devices) start dead and contribute nothing.
+    divisible across devices or into fused-kernel blocks) start dead and
+    contribute nothing.
     """
-    nrow, ncol = params.grid_shape
+    nrow_p, ncol_p = params.padded_grid
     pos = jnp.asarray(start_rc, jnp.int32)
     n = pos.shape[0]
+    pos_r, pos_c = pos[:, 0], pos[:, 1]
     # derive from pos so the varying-axis type matches under shard_map
     # (a fresh jnp.full would be unvarying and break the scan carry)
-    mem = jnp.broadcast_to(pos[:, :1] * 0 + 4,
-                           (n, max(params.memory_k, 1))).astype(jnp.int32)
-    alive = (pos[:, 0] == pos[:, 0]) if valid is None \
+    mem = jnp.broadcast_to((pos_r * 0 + 4)[None],
+                           (max(params.memory_k, 1), n)).astype(jnp.int32)
+    alive = (pos_r == pos_r) if valid is None \
         else jnp.asarray(valid, bool)
-    flat = (jnp.clip(pos[:, 0], 0, nrow - 1) * ncol +
-            jnp.clip(pos[:, 1], 0, ncol - 1))
-    presence = jnp.zeros((nrow * ncol,), jnp.int32).at[flat].add(
-        alive.astype(jnp.int32)).reshape(nrow, ncol)
-    return SimState(pos=pos, mem=mem, alive=alive, key=key,
+    # also derived from pos (varying under shard_map); fresh zeros would
+    # be unvarying and mismatch the step's output in the scan carry
+    presence = jnp.zeros((nrow_p, ncol_p), jnp.int32) + pos_r[0] * 0
+    return SimState(pos_r=pos_r, pos_c=pos_c, mem=mem, alive=alive,
+                    palive=alive.astype(jnp.int32), key=key,
                     presence=presence, step=jnp.asarray(0, jnp.int32))
+
+
+def _pad_starts(params: TrackParams, start_rc, valid,
+                base_flat_given: bool):
+    """Pad the agent batch to a multiple of FUSED_BLK when the fused
+    engine will run (padding agents start dead)."""
+    start_rc = np.asarray(start_rc, np.int32)
+    n = start_rc.shape[0]
+    impl = resolve_step_impl(params, base_flat_given)
+    if impl not in ('fused', 'fused-interpret') or n % FUSED_BLK == 0:
+        return start_rc, valid
+    n_pad = _round_up(n, FUSED_BLK) - n
+    starts = np.concatenate(
+        [start_rc, np.broadcast_to(start_rc[-1:], (n_pad, 2))], axis=0)
+    if valid is None:
+        valid_arr = np.ones(n + n_pad, dtype=bool)
+        valid_arr[n:] = False
+    else:
+        valid_arr = np.concatenate(
+            [np.asarray(valid, bool), np.zeros(n_pad, bool)])
+    return np.ascontiguousarray(starts), valid_arr
+
+
+def _presence_out(params: TrackParams, presence: jax.Array) -> jax.Array:
+    nrow, ncol = params.grid_shape
+    return presence[:nrow, :ncol]
 
 
 @functools.partial(jax.jit, static_argnames=('params', 'record_tracks',
@@ -327,6 +485,11 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
 
     With ``record_tracks``: additionally materializes the (nsteps+1, N, 2)
     int16 trajectory array (small runs only — memory is nsteps*N*4 bytes).
+
+    Note: when the fused engine is selected, the caller is responsible
+    for the agent count being a multiple of FUSED_BLK (the non-jit
+    drivers pad automatically; this jitted entry falls back to the XLA
+    step for odd sizes).
     """
     dirp = jnp.asarray(directional_probs(params.move_dirn))
     table = jnp.asarray(restriction_table())
@@ -335,6 +498,10 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
                                      params.weight_dtype)
     else:
         base_flat = None
+    n = jnp.asarray(start_rc).shape[0]
+    if (resolve_step_impl(params, base_flat is not None) == 'fused'
+            and n % FUSED_BLK != 0):
+        params = params._replace(step_impl='xla')
     step_fn = make_step_fn(params, base_flat, dirp, table)
     state = init_state(params, start_rc, key, valid=valid)
 
@@ -344,11 +511,13 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
             return new, (new.pos.astype(jnp.int16), new.alive)
         state, (track_tail, alive_tail) = jax.lax.scan(
             scan_body, state, None, length=params.nsteps)
+        state = flush_pending(params, state)
         tracks = jnp.concatenate(
             [jnp.asarray(start_rc, jnp.int16)[None], track_tail], axis=0)
         # per-agent trajectory length = 1 (start) + moves made
         lengths = 1 + jnp.sum(alive_tail.astype(jnp.int32), axis=0)
-        return state.presence, state.step, tracks, lengths
+        return (_presence_out(params, state.presence), state.step,
+                tracks, lengths)
 
     nchunks = -(-params.nsteps // chunk)
 
@@ -366,31 +535,29 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
 
     state, _ = jax.lax.while_loop(
         while_cond, while_body, (state, jnp.asarray(0, jnp.int32)))
-    return state.presence, state.step
+    state = flush_pending(params, state)
+    return _presence_out(params, state.presence), state.step
+
+
+_CHUNK_UNROLL = 4
 
 
 @functools.partial(jax.jit, static_argnames=('params', 'chunk'))
-def _run_chunk(params: TrackParams, base_flat, dirp, table,
-               pos, mem, alive, key, presence, step0, chunk: int):
+def _run_chunk(params: TrackParams, base_flat, dirp, table, state,
+               chunk: int):
     """One jitted chunk of the compacting driver; compiled once per
     (params, agent-bucket-size). Uniforms are drawn per step inside the
     scan — a hoisted (chunk, N) draw measured 60% slower (the HBM
     round-trip of the buffer outweighs the fused per-step generation)."""
     step_fn = make_step_fn(params, base_flat, dirp, table)
-    state = SimState(pos=pos, mem=mem, alive=alive, key=key,
-                     presence=presence, step=step0)
-    # unroll: cross-step fusion of the elementwise chains trims ~5% at
-    # 100k agents and more at small tail buckets (scripts/ablate_step4.py)
     state, _ = jax.lax.scan(lambda s, _: (step_fn(s), None), state, None,
-                            length=chunk, unroll=8)
-    return (state.pos, state.mem, state.alive, state.key, state.presence,
-            state.step, jnp.sum(state.alive))
-
+                            length=chunk, unroll=_CHUNK_UNROLL)
+    return state, jnp.sum(state.alive)
 
 
 @functools.partial(jax.jit, static_argnames=('params', 'chunk'))
-def _run_tail(params: TrackParams, base_flat, dirp, table,
-              pos, mem, alive, key, presence, step0, chunk: int):
+def _run_tail(params: TrackParams, base_flat, dirp, table, state,
+              chunk: int):
     """Run the REMAINDER of a simulation in one dispatch: a device-side
     while_loop of chunk-scans with an all-dead early exit.
 
@@ -400,63 +567,26 @@ def _run_tail(params: TrackParams, base_flat, dirp, table,
     (measured in the bench chunk trace) — one dispatch for the whole
     tail removes all of it."""
     step_fn = make_step_fn(params, base_flat, dirp, table)
-    state = SimState(pos=pos, mem=mem, alive=alive, key=key,
-                     presence=presence, step=step0)
 
     def cond(st):
         return (st.step < params.nsteps) & jnp.any(st.alive)
 
     def body(st):
         st, _ = jax.lax.scan(lambda s, _: (step_fn(s), None), st, None,
-                             length=chunk, unroll=8)
+                             length=chunk, unroll=_CHUNK_UNROLL)
         return st
 
     state = jax.lax.while_loop(cond, body, state)
-    return (state.pos, state.mem, state.alive, state.key, state.presence,
-            state.step, jnp.sum(state.alive))
+    state = flush_pending(params, state)
+    return state, jnp.sum(state.alive)
 
 
-@functools.partial(jax.jit, static_argnames=('params', 'chunk'))
-def _run_chunk_hist(params: TrackParams, base_flat, dirp, table,
-                    pos, mem, alive, key, presence, step0, chunk: int):
-    """Chunk runner with the presence histogram hoisted OUT of the scan.
-
-    The per-step presence update dominates the lockstep step (92% for
-    scatter; the one-hot MXU matmul still ~8x the rest; a per-step
-    in-scan Pallas call is latency-bound, measured a wash). Here the scan
-    emits only the post-move positions as (chunk, N) int16 planes (dead
-    agents -1) — the presence-free step measured 131 us vs 1525 us full —
-    and ONE Pallas histogram call per chunk turns the whole emission into
-    counts with everything VMEM-resident, amortizing the per-call latency
-    chunk-fold. Bit-identical to the in-scan scatter/matmul accumulation
-    (same points, same counts; verified in tests/test_pallas_hist.py and
-    tests/test_compaction.py).
-    """
-    step_fn = make_step_fn(params._replace(presence_impl='none'),
-                           base_flat, dirp, table)
-    state = SimState(pos=pos, mem=mem, alive=alive, key=key,
-                     presence=presence, step=step0)
-
-    def body(s, _):
-        new = step_fn(s)
-        r16 = jnp.where(new.alive, new.pos[:, 0], -1).astype(jnp.int16)
-        c16 = jnp.where(new.alive, new.pos[:, 1],
-                        jnp.zeros_like(new.pos[:, 1])).astype(jnp.int16)
-        return new, (r16, c16)
-
-    state, (rows, cols) = jax.lax.scan(body, state, None, length=chunk)
-    from .pallas_hist import presence_histogram_batch
-    nrow, ncol = params.grid_shape
-    upd = presence_histogram_batch(rows.reshape(-1), cols.reshape(-1),
-                                   nrow, ncol)
-    presence = state.presence + upd
-    return (state.pos, state.mem, state.alive, state.key, presence,
-            state.step, jnp.sum(state.alive))
-
-
-
-def _bucket_for(n_alive: int, min_bucket: int) -> int:
-    """Smallest {1, 1.5} * 2^k >= n_alive (>= min_bucket).
+def _bucket_for(n_alive: int, min_bucket: int,
+                quantum: int = 1) -> int:
+    """Smallest {1, 1.5} * 2^k >= n_alive (>= min_bucket) that is also a
+    multiple of ``quantum`` (the fused kernel needs multiples of
+    FUSED_BLK; every {1,1.5}*2^k rung >= 2048 already is — only 1536 is
+    rounded up).
 
     A pure power-of-two ladder leaves up to 2x dead slots before the
     first compaction triggers (measured on the bench workload: the
@@ -467,43 +597,58 @@ def _bucket_for(n_alive: int, min_bucket: int) -> int:
     n = max(n_alive, min_bucket, 1)
     p = 1 << max(n.bit_length() - 1, 0)      # largest pow2 <= n
     if p >= n:
-        return p
-    if 3 * p // 2 >= n:
-        return 3 * p // 2
-    return 2 * p
+        m = p
+    elif 3 * p // 2 >= n:
+        m = 3 * p // 2
+    else:
+        m = 2 * p
+    return _round_up(m, quantum)
 
 
-@functools.partial(jax.jit, static_argnames=('m',))
-def _compact(pos, mem, alive, m: int):
-    """Pack alive agents to the front (stable) and truncate to bucket m."""
-    order = jnp.argsort(~alive, stable=True)
-    return pos[order[:m]], mem[order[:m]], alive[order[:m]]
+@functools.partial(jax.jit, static_argnames=('params', 'm'))
+def _compact(params: TrackParams, state: SimState, m: int) -> SimState:
+    """Pack alive agents to the front (stable) and truncate to bucket m.
+    The pending delayed-presence update is flushed first — compaction
+    reorders/drops agent slots, which would corrupt it."""
+    state = flush_pending(params, state)
+    order = jnp.argsort(~state.alive, stable=True)[:m]
+    return state._replace(pos_r=state.pos_r[order],
+                          pos_c=state.pos_c[order],
+                          mem=state.mem[:, order],
+                          alive=state.alive[order],
+                          palive=state.palive[order])
 
 
-@functools.partial(jax.jit, static_argnames=('m',))
-def _compact_ids(pos, mem, alive, ids, m: int):
-    order = jnp.argsort(~alive, stable=True)
-    return (pos[order[:m]], mem[order[:m]], alive[order[:m]],
-            ids[order[:m]])
+@functools.partial(jax.jit, static_argnames=('params', 'm'))
+def _compact_ids(params: TrackParams, state: SimState, ids, m: int):
+    state = flush_pending(params, state)
+    order = jnp.argsort(~state.alive, stable=True)[:m]
+    return state._replace(pos_r=state.pos_r[order],
+                          pos_c=state.pos_c[order],
+                          mem=state.mem[:, order],
+                          alive=state.alive[order],
+                          palive=state.palive[order]), ids[order]
+
+
+@functools.partial(jax.jit, static_argnames=('params',))
+def _final_flush(params: TrackParams, state: SimState):
+    state = flush_pending(params, state)
+    return _presence_out(params, state.presence), state.step
 
 
 @functools.partial(jax.jit, static_argnames=('params', 'chunk'))
 def _run_chunk_recording(params: TrackParams, base_flat, dirp, table,
-                         pos, mem, alive, key, presence, step0,
-                         chunk: int):
+                         state, chunk: int):
     """Chunk runner that also emits per-step (positions, alive) for track
     reconstruction."""
     step_fn = make_step_fn(params, base_flat, dirp, table)
-    state = SimState(pos=pos, mem=mem, alive=alive, key=key,
-                     presence=presence, step=step0)
 
     def body(s, _):
         new = step_fn(s)
         return new, (new.pos.astype(jnp.int16), new.alive)
 
     state, ys = jax.lax.scan(body, state, None, length=chunk)
-    return (state.pos, state.mem, state.alive, state.key, state.presence,
-            state.step, jnp.sum(state.alive), ys)
+    return state, jnp.sum(state.alive), ys
 
 
 def simulate_tracks_recorded(params: TrackParams, start_rc,
@@ -519,8 +664,6 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
     step cap can be the reference's enormous ``(nrow/2)*(ncol/2)`` without
     materializing a dense (cap, N, 2) array.
     """
-    start_rc = np.asarray(start_rc, np.int32)
-    n = start_rc.shape[0]
     dirp = jnp.asarray(directional_probs(params.move_dirn))
     table = jnp.asarray(restriction_table())
     if updraft is not None:
@@ -529,11 +672,15 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
     else:
         base_flat = None
 
-    state = init_state(params, start_rc, key)
-    pos, mem, alive, key_c, presence = (state.pos, state.mem, state.alive,
-                                        state.key, state.presence)
-    ids = jnp.arange(n, dtype=jnp.int32)
-    step0 = state.step
+    start_rc = np.asarray(start_rc, np.int32)
+    n = start_rc.shape[0]
+    starts_p, valid = _pad_starts(params, start_rc, None,
+                                  base_flat is not None)
+    state = init_state(params, starts_p, key, valid=valid)
+    n_padded = starts_p.shape[0]
+    ids = jnp.arange(n_padded, dtype=jnp.int32)
+    min_bucket = _fused_quantize(params, base_flat is not None,
+                                 min_bucket)
 
     # host-side per-agent trajectory buffers, seeded with the starts:
     # the C++ builder (ssrs_tpu/native) when a compiler is around,
@@ -544,16 +691,20 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
         if native_available() else None
     if builder is None:
         traj = [[start_rc[i:i + 1]] for i in range(n)]
-    n_alive = n
-    while int(step0) < params.nsteps and n_alive > 0:
-        (pos, mem, alive, key_c, presence, step0, n_alive_dev,
-         (ys_pos, ys_alive)) = _run_chunk_recording(
-            params, base_flat, dirp, table, pos, mem, alive, key_c,
-            presence, step0, chunk)
+    n_alive = int(jnp.sum(state.alive))
+    while int(state.step) < params.nsteps and n_alive > 0:
+        state, n_alive_dev, (ys_pos, ys_alive) = _run_chunk_recording(
+            params, base_flat, dirp, table, state, chunk)
         n_alive = int(n_alive_dev)
         ys_pos = np.asarray(ys_pos)          # (chunk, B, 2)
         ys_alive = np.asarray(ys_alive)      # (chunk, B)
         ids_h = np.asarray(ids)
+        if n_padded != n:
+            # padding agents are dead from step 0 and emit nothing; mask
+            # their ids out of the reconstruction (they would index OOB)
+            keep = ids_h < n
+            ys_pos, ys_alive, ids_h = (ys_pos[:, keep],
+                                       ys_alive[:, keep], ids_h[keep])
         if builder is not None:
             builder.append_chunk(ys_pos, ys_alive, ids_h)
         else:
@@ -561,18 +712,29 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
                 steps_alive = int(ys_alive[:, j].sum())
                 if steps_alive:
                     traj[agent].append(ys_pos[:steps_alive, j])
-        cur = pos.shape[0]
+        cur = state.pos_r.shape[0]
         if n_alive > 0 and cur > min_bucket:
-            m = _bucket_for(n_alive, min_bucket)
+            m = _bucket_for(n_alive, min_bucket,
+                            _fused_quantum(params, base_flat is not None))
             if m < cur:
-                pos, mem, alive, ids = _compact_ids(pos, mem, alive, ids,
-                                                    m)
+                state, ids = _compact_ids(params, state, ids, m)
+    presence, _ = _final_flush(params, state)
     if builder is not None:
         return presence, builder.export()
     tracks = [np.ascontiguousarray(
         np.concatenate(parts, axis=0).astype(np.int16))
         for parts in traj]
     return presence, tracks
+
+
+def _fused_quantum(params: TrackParams, has_table: bool) -> int:
+    return (FUSED_BLK if resolve_step_impl(params, has_table)
+            in ('fused', 'fused-interpret') else 1)
+
+
+def _fused_quantize(params: TrackParams, has_table: bool,
+                    min_bucket: int) -> int:
+    return _round_up(min_bucket, _fused_quantum(params, has_table))
 
 
 @functools.partial(jax.jit, static_argnames=('params', 'chunk'))
@@ -585,7 +747,7 @@ def simulate_presence_cases(params: TrackParams, base_tables: jax.Array,
     The reference runs cases serially through its process pool
     (ssrs/simulator.py:348-386); here each case contributes an
     independent population and the whole (C, N)-agent batch saturates the
-    chip.
+    chip. Uses the XLA step (the fused kernel is not vmapped over cases).
 
     Parameters
     ----------
@@ -596,6 +758,7 @@ def simulate_presence_cases(params: TrackParams, base_tables: jax.Array,
 
     Returns (presence int32 (C, nrow, ncol), steps int32 (C,)).
     """
+    params = params._replace(step_impl='xla')
     table = jnp.asarray(restriction_table())
     nchunks = -(-params.nsteps // chunk)
 
@@ -615,7 +778,8 @@ def simulate_presence_cases(params: TrackParams, base_tables: jax.Array,
 
         st, _ = jax.lax.while_loop(while_cond, while_body,
                                    (state, jnp.asarray(0, jnp.int32)))
-        return st.presence, st.step
+        st = flush_pending(params, st)
+        return _presence_out(params, st.presence), st.step
 
     start_axis = 0 if start_rc.ndim == 3 else None
     return jax.vmap(one_case, in_axes=(0, 0, start_axis, 0))(
@@ -634,10 +798,10 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     The plain lockstep scan keeps simulating dead agents: with boundary
     absorption the average track dies long before the step cap, so up to
     ~80% of agent-slots are wasted. This host-orchestrated variant runs
-    jitted chunks and, whenever the live population falls below half the
-    current bucket, packs survivors into the next power-of-two bucket
-    (at most log2(N) recompiles, each cached). Statistically equivalent
-    to ``simulate_presence`` (different RNG partitioning), and
+    jitted chunks and, whenever the live population falls below the
+    current bucket, packs survivors into the next {1,1.5}*2^k bucket
+    (at most ~2 log2(N) recompiles, each cached). Statistically
+    equivalent to ``simulate_presence`` (different RNG partitioning), and
     deterministic for fixed inputs.
 
     Returns (presence int32 (nrow, ncol), steps int32).
@@ -650,19 +814,13 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     else:
         base_flat = None
 
-    state = init_state(params, start_rc, key, valid=valid)
-    pos, mem, alive, key_c, presence = (state.pos, state.mem, state.alive,
-                                        state.key, state.presence)
-    step0 = state.step
-    n_alive = int(jnp.sum(alive))
-    runner = (_run_chunk_hist if params.presence_impl == 'chunk-hist'
-              else _run_chunk)
-    # in-step presence for the one-dispatch tail runner ('chunk-hist'
-    # emits per-chunk planes, which a device-side while_loop cannot)
-    tail_params = (params._replace(presence_impl='auto')
-                   if params.presence_impl == 'chunk-hist' else params)
-    # the step cap inside the step function handles the final partial
-    # chunk (agents past nsteps stop), so one fixed chunk size suffices
+    starts_p, valid = _pad_starts(params, start_rc, valid,
+                                  base_flat is not None)
+    state = init_state(params, starts_p, key, valid=valid)
+    min_bucket = _fused_quantize(params, base_flat is not None,
+                                 min_bucket)
+    quantum = _fused_quantum(params, base_flat is not None)
+    n_alive = int(jnp.sum(state.alive))
     import os as _os
     import time as _time
     _dbg = _os.environ.get('SSRS_CHUNK_DEBUG')
@@ -673,35 +831,33 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     # the survivors run thousands more steps — so the default (0) maps
     # to min_bucket. Negative disables the tail entirely (testing).
     # Positive values below min_bucket are equivalent to min_bucket: the
-    # bucket never shrinks below min_bucket, so the cur <= max(...) switch
-    # condition floors tail_bucket there.
+    # bucket never shrinks below min_bucket, so the cur <= max(...)
+    # switch condition floors tail_bucket there.
     if tail_bucket == 0:
         tail_bucket = min_bucket
-    while int(step0) < params.nsteps and n_alive > 0:
+    while int(state.step) < params.nsteps and n_alive > 0:
         _t0 = _time.perf_counter()
-        cur = pos.shape[0]
+        cur = state.pos_r.shape[0]
         if tail_bucket > 0 and cur <= max(min_bucket, tail_bucket):
             # no further compaction possible: run the whole remainder in
-            # one dispatch (device-side early exit)
-            pos, mem, alive, key_c, presence, step0, n_alive_dev = \
-                _run_tail(tail_params, base_flat, dirp, table, pos, mem,
-                          alive, key_c, presence, step0, chunk)
+            # one dispatch (device-side early exit; flushes internally)
+            state, n_alive_dev = _run_tail(params, base_flat, dirp,
+                                           table, state, chunk)
             n_alive = int(n_alive_dev)
             if _dbg:
                 print(f'[tail]  bucket={cur} alive={n_alive} '
-                      f'steps={int(step0)} '
+                      f'steps={int(state.step)} '
                       f'dt={_time.perf_counter()-_t0:.3f}s', flush=True)
-            break
-        pos, mem, alive, key_c, presence, step0, n_alive_dev = runner(
-            params, base_flat, dirp, table, pos, mem, alive, key_c,
-            presence, step0, chunk)
+            return _presence_out(params, state.presence), state.step
+        state, n_alive_dev = _run_chunk(params, base_flat, dirp, table,
+                                        state, chunk)
         n_alive = int(n_alive_dev)
         if _dbg:
-            print(f'[chunk] bucket={pos.shape[0]} alive={n_alive} '
-                  f'steps={int(step0)} dt={_time.perf_counter()-_t0:.3f}s',
-                  flush=True)
+            print(f'[chunk] bucket={state.pos_r.shape[0]} '
+                  f'alive={n_alive} steps={int(state.step)} '
+                  f'dt={_time.perf_counter()-_t0:.3f}s', flush=True)
         if n_alive > 0 and cur > min_bucket:
-            m = _bucket_for(n_alive, min_bucket)
+            m = _bucket_for(n_alive, min_bucket, quantum)
             if m < cur:
-                pos, mem, alive = _compact(pos, mem, alive, m)
-    return presence, step0
+                state = _compact(params, state, m)
+    return _final_flush(params, state)

@@ -95,34 +95,24 @@ def test_bf16_vs_f32_statistics(rng):
     assert np.abs(a - b).sum() < 0.08
 
 
-def test_chunk_hist_bit_identical_to_scatter(rng, monkeypatch):
-    """presence_impl='chunk-hist' must produce EXACTLY the counts of the
-    in-scan scatter: same step function, same RNG stream (presence does
-    not consume randomness), only the accumulation is hoisted out of the
-    scan into one batched Pallas histogram per chunk."""
-    if jax.default_backend() != 'tpu':
-        from jax.experimental import pallas as pl
-        real_call = pl.pallas_call
-
-        def interp_call(*args, **kwargs):
-            kwargs.setdefault('interpret', True)
-            return real_call(*args, **kwargs)
-
-        monkeypatch.setattr(pl, 'pallas_call', interp_call)
-
+def test_matmul_hist_bit_identical_to_scatter(rng):
+    """The one-hot MXU matmul presence accumulation must produce EXACTLY
+    the counts of the scatter-add: same step function, same RNG stream
+    (presence does not consume randomness), only the histogram op
+    differs."""
     starts = _starts(600, rng)
     updraft, potential = _fields()
     p_scatter, s1 = simulate_presence_compacting(
         _params()._replace(presence_impl='scatter'), starts,
         jax.random.key(3), updraft=updraft, potential=potential,
         chunk=64, min_bucket=128)
-    p_hist, s2 = simulate_presence_compacting(
-        _params()._replace(presence_impl='chunk-hist'), starts,
+    p_mm, s2 = simulate_presence_compacting(
+        _params()._replace(presence_impl='matmul'), starts,
         jax.random.key(3), updraft=updraft, potential=potential,
         chunk=64, min_bucket=128)
     assert int(s1) == int(s2)
     np.testing.assert_array_equal(np.asarray(p_scatter),
-                                  np.asarray(p_hist))
+                                  np.asarray(p_mm))
 
 
 def test_tail_runner_bit_identical_to_chunked(rng):
