@@ -74,6 +74,15 @@ class WtkSource:
             raise FileNotFoundError(
                 f'WTK: could not open {self.file_names[0]} ({hint})'
             ) from None
+        except OSError:
+            if sname != 'AWS':
+                raise
+            # h5pyd raises a bare OSError when no .hscfg credentials
+            # resolve; re-probe to surface the reference's API-key
+            # guidance (ssrs/wtk/wtksource.py:52-60) instead of the raw
+            # error (validate_aws_source raises ValueError).
+            self.validate_aws_source()
+            raise
         if sname == 'AWS':
             self.validate_aws_source()
 
