@@ -403,23 +403,47 @@ def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
 class LapLevel(NamedTuple):
     planes: jax.Array   # (8, nrow, ncol) difference-form edge weights
     notb: jax.Array     # (nrow, ncol) 1.0 where NOT Dirichlet
-    dinv: jax.Array     # (nrow, ncol) 1/sum_d W_d (0 where D == 0)
+    dinv: jax.Array     # (nrow, ncol) 1/(sum_d W_d + s) (0 where 0)
     onehot: jax.Array   # (T, C, L) f32 tile-slot one-hot (see _onehot_slots)
     sidx: jax.Array     # (S,) active-slot flat indices
     sisland: jax.Array  # (S,) island id per active slot
     zaz_inv: jax.Array  # (num,) 1/(z_I^T A z_I); index 0 unused
+    # Diagonal excess: A u = sum_d W_d (u - u_d) + s u. None (= exactly
+    # zero) on pc-aggregation levels; the BoxMG Galerkin levels
+    # (potential/boxmg.py) carry the boundary-clamping stiffness that a
+    # pure difference form cannot express — s is exactly 0 away from
+    # Dirichlet cells, so constants are still annihilated exactly where
+    # the f32 island disease lives (module docstring, point 1).
+    s: jax.Array = None
+    # Per-level Jacobi damping (scalar). None on pc-aggregation levels
+    # (the global omega argument applies). BoxMG Galerkin stencils grow
+    # large positive off-diagonals (lambda_max(D^-1 A) measured up to 3.0
+    # on coarse levels, scripts/exp_bmg_lmax.py), so a fixed 0.85 makes
+    # omega*lambda_max >= 2 and the smoother AMPLIFIES — the round-3
+    # stationary-divergence root cause. build_bmg_levels stores
+    # omega = target/lambda_max from a build-time power iteration.
+    omega: jax.Array = None
 
     @property
     def shape(self):
         return self.planes.shape[-2:]
 
 
+def apply_level(level: LapLevel, u: jax.Array) -> jax.Array:
+    """A u for this level (difference form + optional diagonal excess)."""
+    out = _apply_lap(level.planes, u)
+    if level.s is not None:
+        out = out + level.s * u
+    return out
+
+
 def island_zaz(planes: jax.Array, labels: jax.Array, onehot: jax.Array,
                sidx: jax.Array, sisland: jax.Array,
-               num_segments: int) -> jax.Array:
+               num_segments: int, s: jax.Array = None) -> jax.Array:
     """z_I^T A z_I = total leak weight out of each island: the sum of
     W edges from island cells to cells with a different label (one tiled
-    segsum over the summed cross-edge planes)."""
+    segsum over the summed cross-edge planes), plus the island's diagonal
+    excess when the level carries one (BoxMG levels, LapLevel.s)."""
     lab = jnp.asarray(labels, jnp.int32)
     nrow, ncol = lab.shape
     labpad = jnp.pad(lab, 1, constant_values=-1)
@@ -429,6 +453,8 @@ def island_zaz(planes: jax.Array, labels: jax.Array, onehot: jax.Array,
                            (dr + 1 + nrow, dc + 1 + ncol))
         cross = (lab > 0) & (nb != lab)
         total = total + jnp.where(cross, planes[k], 0.)
+    if s is not None:
+        total = total + jnp.where(lab > 0, s, 0.)
     zaz = _tile_segsum(total, onehot, sidx, sisland, num_segments)
     zaz = zaz.at[0].set(1.0)  # background: never used
     return jnp.maximum(zaz, 1e-30)
@@ -463,10 +489,14 @@ def build_lap_levels(planes: jax.Array, bmask: jax.Array,
 
 def _smooth(level: LapLevel, u: jax.Array, rhs: jax.Array, omega: float,
             nsweeps: int) -> jax.Array:
-    """Damped diagonally-scaled Jacobi on the difference form."""
+    """Damped diagonally-scaled Jacobi on the difference form. A level
+    with a stored per-level omega (BoxMG hierarchies) overrides the
+    global one — see LapLevel.omega."""
+    w = omega if level.omega is None else level.omega
+
     def body(_, u):
-        r = rhs - _apply_lap(level.planes, u)
-        return u + (omega * level.notb * level.dinv) * r
+        r = rhs - apply_level(level, u)
+        return u + (w * level.notb * level.dinv) * r
     return jax.lax.fori_loop(0, nsweeps, body, u)
 
 
@@ -479,7 +509,7 @@ def _deflate(level: LapLevel, u: jax.Array, rhs: jax.Array) -> jax.Array:
     ~0.99/cycle stall on 100+-island fields). The tile matmuls run f32 at
     HIGHEST precision: the correction divides by zaz ~ 1e-8, amplifying
     sum errors ~1e8x (bf16 pushed final residuals 1e-7 -> 3e-4)."""
-    r = (rhs - _apply_lap(level.planes, u)) * level.notb
+    r = (rhs - apply_level(level, u)) * level.notb
     num = level.zaz_inv.shape[0]
     rsum = _tile_segsum(r, level.onehot, level.sidx, level.sisland, num)
     c = (rsum * level.zaz_inv).at[0].set(0.)
@@ -507,7 +537,7 @@ def vcycle(levels: List[LapLevel], rhs: jax.Array, u0: jax.Array,
             return _deflate(level, u, rhs)
         u = _smooth(level, u, rhs, omega, nu1)
         u = _deflate(level, u, rhs)
-        r = (rhs - _apply_lap(level.planes, u)) * level.notb
+        r = (rhs - apply_level(level, u)) * level.notb
         coarse = levels[idx + 1]
         r_c = _restrict(r) * coarse.notb
         e_c = cycle(idx + 1, jnp.zeros(coarse.shape, r.dtype), r_c)
