@@ -403,47 +403,23 @@ def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
 class LapLevel(NamedTuple):
     planes: jax.Array   # (8, nrow, ncol) difference-form edge weights
     notb: jax.Array     # (nrow, ncol) 1.0 where NOT Dirichlet
-    dinv: jax.Array     # (nrow, ncol) 1/(sum_d W_d + s) (0 where 0)
+    dinv: jax.Array     # (nrow, ncol) 1/sum_d W_d (0 where D == 0)
     onehot: jax.Array   # (T, C, L) f32 tile-slot one-hot (see _onehot_slots)
     sidx: jax.Array     # (S,) active-slot flat indices
     sisland: jax.Array  # (S,) island id per active slot
     zaz_inv: jax.Array  # (num,) 1/(z_I^T A z_I); index 0 unused
-    # Diagonal excess: A u = sum_d W_d (u - u_d) + s u. None (= exactly
-    # zero) on pc-aggregation levels; the BoxMG Galerkin levels
-    # (potential/boxmg.py) carry the boundary-clamping stiffness that a
-    # pure difference form cannot express — s is exactly 0 away from
-    # Dirichlet cells, so constants are still annihilated exactly where
-    # the f32 island disease lives (module docstring, point 1).
-    s: jax.Array = None
-    # Per-level Jacobi damping (scalar). None on pc-aggregation levels
-    # (the global omega argument applies). BoxMG Galerkin stencils grow
-    # large positive off-diagonals (lambda_max(D^-1 A) measured up to 3.0
-    # on coarse levels, scripts/exp_bmg_lmax.py), so a fixed 0.85 makes
-    # omega*lambda_max >= 2 and the smoother AMPLIFIES — the round-3
-    # stationary-divergence root cause. build_bmg_levels stores
-    # omega = target/lambda_max from a build-time power iteration.
-    omega: jax.Array = None
 
     @property
     def shape(self):
         return self.planes.shape[-2:]
 
 
-def apply_level(level: LapLevel, u: jax.Array) -> jax.Array:
-    """A u for this level (difference form + optional diagonal excess)."""
-    out = _apply_lap(level.planes, u)
-    if level.s is not None:
-        out = out + level.s * u
-    return out
-
-
 def island_zaz(planes: jax.Array, labels: jax.Array, onehot: jax.Array,
                sidx: jax.Array, sisland: jax.Array,
-               num_segments: int, s: jax.Array = None) -> jax.Array:
+               num_segments: int) -> jax.Array:
     """z_I^T A z_I = total leak weight out of each island: the sum of
     W edges from island cells to cells with a different label (one tiled
-    segsum over the summed cross-edge planes), plus the island's diagonal
-    excess when the level carries one (BoxMG levels, LapLevel.s)."""
+    segsum over the summed cross-edge planes)."""
     lab = jnp.asarray(labels, jnp.int32)
     nrow, ncol = lab.shape
     labpad = jnp.pad(lab, 1, constant_values=-1)
@@ -453,8 +429,6 @@ def island_zaz(planes: jax.Array, labels: jax.Array, onehot: jax.Array,
                            (dr + 1 + nrow, dc + 1 + ncol))
         cross = (lab > 0) & (nb != lab)
         total = total + jnp.where(cross, planes[k], 0.)
-    if s is not None:
-        total = total + jnp.where(lab > 0, s, 0.)
     zaz = _tile_segsum(total, onehot, sidx, sisland, num_segments)
     zaz = zaz.at[0].set(1.0)  # background: never used
     return jnp.maximum(zaz, 1e-30)
@@ -489,14 +463,10 @@ def build_lap_levels(planes: jax.Array, bmask: jax.Array,
 
 def _smooth(level: LapLevel, u: jax.Array, rhs: jax.Array, omega: float,
             nsweeps: int) -> jax.Array:
-    """Damped diagonally-scaled Jacobi on the difference form. A level
-    with a stored per-level omega (BoxMG hierarchies) overrides the
-    global one — see LapLevel.omega."""
-    w = omega if level.omega is None else level.omega
-
+    """Damped diagonally-scaled Jacobi on the difference form."""
     def body(_, u):
-        r = rhs - apply_level(level, u)
-        return u + (w * level.notb * level.dinv) * r
+        r = rhs - _apply_lap(level.planes, u)
+        return u + (omega * level.notb * level.dinv) * r
     return jax.lax.fori_loop(0, nsweeps, body, u)
 
 
@@ -509,7 +479,7 @@ def _deflate(level: LapLevel, u: jax.Array, rhs: jax.Array) -> jax.Array:
     ~0.99/cycle stall on 100+-island fields). The tile matmuls run f32 at
     HIGHEST precision: the correction divides by zaz ~ 1e-8, amplifying
     sum errors ~1e8x (bf16 pushed final residuals 1e-7 -> 3e-4)."""
-    r = (rhs - apply_level(level, u)) * level.notb
+    r = (rhs - _apply_lap(level.planes, u)) * level.notb
     num = level.zaz_inv.shape[0]
     rsum = _tile_segsum(r, level.onehot, level.sidx, level.sisland, num)
     c = (rsum * level.zaz_inv).at[0].set(0.)
@@ -537,7 +507,7 @@ def vcycle(levels: List[LapLevel], rhs: jax.Array, u0: jax.Array,
             return _deflate(level, u, rhs)
         u = _smooth(level, u, rhs, omega, nu1)
         u = _deflate(level, u, rhs)
-        r = (rhs - apply_level(level, u)) * level.notb
+        r = (rhs - _apply_lap(level.planes, u)) * level.notb
         coarse = levels[idx + 1]
         r_c = _restrict(r) * coarse.notb
         e_c = cycle(idx + 1, jnp.zeros(coarse.shape, r.dtype), r_c)
@@ -551,17 +521,31 @@ def vcycle(levels: List[LapLevel], rhs: jax.Array, u0: jax.Array,
 # ---- island labeling (host, once per solve) ---------------------------------
 
 
-def island_labels(conductivity: np.ndarray, bmask: np.ndarray
-                  ) -> Tuple[np.ndarray, int]:
-    """Label floating high-conductivity islands (host side, once per
-    solve).
+def island_labels(conductivity: np.ndarray, bmask: np.ndarray,
+                  weak: bool = False) -> Tuple[np.ndarray, int]:
+    """Label the near-decoupled components whose levels are near-null
+    modes (host side, once per solve).
 
-    A component of ``cond > 0`` (8-connectivity, matching the stencil) is
-    *anchored* — and excluded — when it contains or touches a Dirichlet
-    cell that itself has ``cond > 0``: such a component couples to the
-    boundary through O(1) harmonic means and is not ill-conditioned.
-    Returns (labels int32 (nrow, ncol), 0 = background, 1..K floating
-    islands; K).
+    Two families, both deflated by the same tile machinery:
+
+    - *Floating strong islands*: a component of ``cond > 0``
+      (8-connectivity, matching the stencil) is *anchored* — and
+      excluded — when it contains or touches a Dirichlet cell that
+      itself has ``cond > 0``: such a component couples to the boundary
+      through O(1) harmonic means and is not ill-conditioned.
+    - *Weak plateaus* (``weak=True``, experimental opt-in): components
+      of ``cond <= 0`` (the thresholded-updraft zero regions). Every
+      edge of a plateau cell is at the ~1e-8 conductivity floor, so the
+      plateau's mean level is a near-null mode even when the component
+      touches the Dirichlet boundary. Measured (round 3): deflating
+      them inside the V-cycle did NOT improve the production GCR
+      (asymptotic rate 0.846 -> 0.924 at 460^2 on the hard speckle
+      class) — the D^-1-metric GCR already grinds plateau levels, and
+      the extra per-level projections steal components the cycle
+      handles better. Kept as an opt-in for solver experiments.
+
+    Returns (labels int32 (nrow, ncol), 0 = anchored strong background,
+    1..K floating islands then weak plateaus; K).
     """
     from scipy import ndimage
     pos = np.asarray(conductivity) > 0.
@@ -577,7 +561,13 @@ def island_labels(conductivity: np.ndarray, bmask: np.ndarray
     keep[0] = False
     keep[anchored] = False
     newid = np.where(keep, np.cumsum(keep), 0).astype(np.int32)
-    return newid[lab], int(keep.sum())
+    labels = newid[lab]
+    k = int(keep.sum())
+    if weak:
+        labw, nw = ndimage.label((~pos) & ~bmask, structure=structure)
+        labels = np.where(labw > 0, labw + k, labels).astype(np.int32)
+        k += int(nw)
+    return labels, k
 
 
 def _island_correction(u: DS, r_hi: jax.Array, level: LapLevel) -> DS:
@@ -758,8 +748,8 @@ def solve_potential_refined(conductivity, bmask, bvals, tol: float = 1e-7,
 
     Host work per solve is one ``scipy.ndimage.label`` pass plus the
     vectorized tile-dictionary build; the weight planes, the whole
-    Galerkin/deflation hierarchy, and the solve run in a single jit
-    (compiled once per (shape, island-bucket, slot-bucket) tuple)."""
+    Galerkin hierarchy, and the solve run in a single jit (compiled once
+    per (shape, island-bucket, slot-bucket) tuple)."""
     bmask_np = np.asarray(bmask, bool)
     labels_np, k = island_labels(np.asarray(conductivity), bmask_np)
     # quantize the segment count in powers of 4 so recompiles are rare
