@@ -205,15 +205,22 @@ def _sel2(mc: int, m: int, dtype) -> jax.Array:
 
 
 def _prolong_pc(e: jax.Array, fine_shape: Tuple[int, int]) -> jax.Array:
-    """Piecewise-constant prolongation, cropped to the fine shape, as two
-    selector-matrix matmuls (pure MXU; the broadcast/reshape formulation
-    interleaves the minor axis and measured ~16 ms at 16.8M cells)."""
+    """Piecewise-constant prolongation, cropped to the fine shape.
+
+    Rows: 2x repeat via broadcast+reshape — the MAJOR axis, so this is a
+    sublane copy (the measured ~16 ms broadcast/reshape cost at 16.8M
+    cells was the *minor*-axis interleave), and it is row-LOCAL under
+    row sharding — a selector matmul here contracts the sharded axis,
+    which GSPMD can only implement by all-gathering the operand
+    (measured: an ncells/2 gather per V-cycle level).
+    Columns: selector matmul (pure MXU; keeps the 128-lane axis
+    unshuffled)."""
     m, n = e.shape
-    up_r = _sel2(m, 2 * m, e.dtype).T
+    er = jnp.broadcast_to(e[:, None, :], (m, 2, n)).reshape(2 * m, n)
+    er = er[:fine_shape[0]]
     up_c = _sel2(n, 2 * n, e.dtype)
-    out = jnp.matmul(jnp.matmul(up_r, e, precision=_HI), up_c,
-                     precision=_HI)
-    return out[:fine_shape[0], :fine_shape[1]]
+    out = jnp.matmul(er, up_c, precision=_HI)
+    return out[:, :fine_shape[1]]
 
 
 # ---- tiled island-label dictionaries ---------------------------------------
@@ -434,25 +441,59 @@ def island_zaz(planes: jax.Array, labels: jax.Array, onehot: jax.Array,
     return jnp.maximum(zaz, 1e-30)
 
 
+def _constrain_rows(x: jax.Array, fs, axis: int) -> jax.Array:
+    """``with_sharding_constraint`` pinning ``axis`` of ``x`` to the
+    'rows' mesh axis of NamedSharding ``fs`` — a no-op when ``fs`` is
+    None or the axis is too small/uneven to split. Used by the spatially
+    sharded solve (parallel/fields.py): without explicit per-level
+    constraints GSPMD replicates every level below the finest (measured:
+    an ncells/2 all-gather at the level-0/1 prolongation), which at
+    8192²-class grids would replicate the ~1 GB level-1 tile one-hot and
+    planes and defeat the point of sharding."""
+    if fs is None:
+        return x
+    n = fs.mesh.devices.size
+    if x.shape[axis] % n != 0 or x.shape[axis] < 2 * n:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = [None] * x.ndim
+    spec[axis] = 'rows'
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(fs.mesh, PartitionSpec(*spec)))
+
+
 def build_lap_levels(planes: jax.Array, bmask: jax.Array,
                      tiles: Sequence[TileSeg],
-                     num_segments: int) -> List[LapLevel]:
+                     num_segments: int,
+                     field_sharding=None) -> List[LapLevel]:
     """Static level hierarchy (shapes fixed at trace time); the number of
     levels is ``len(tiles)`` (host-computed with the same min-size rule).
     Pure jnp apart from the host-prepared tile structures: the whole
-    hierarchy build runs inside the solve jit."""
+    hierarchy build runs inside the solve jit. ``field_sharding`` (a
+    row NamedSharding or None) pins each level's big arrays to the mesh
+    (see _constrain_rows)."""
+    fs = field_sharding
     levels = []
     mask = jnp.asarray(bmask, bool)
     for i, ts in enumerate(tiles):
         assert planes.shape[-2:] == ts.labels.shape, \
             (planes.shape, ts.labels.shape)
+        planes = _constrain_rows(planes, fs, 1)
         onehot = _onehot_slots(ts.lidx, ts.slots.shape[1])
+        if fs is not None:
+            # the tile axis T = tr*tc is row-major over the tile grid:
+            # sharding it matches field rows only when tr divides evenly
+            tr = _tiled_dims(ts.labels.shape)[0] // _TILE
+            if tr % fs.mesh.devices.size == 0:
+                onehot = _constrain_rows(onehot, fs, 0)
         diag = jnp.sum(planes, axis=0)
         dinv = jnp.where(diag > 0., 1. / jnp.where(diag > 0., diag, 1.), 0.)
         zaz = island_zaz(planes, ts.labels, onehot, ts.sidx, ts.sisland,
                          num_segments)
         levels.append(LapLevel(
-            planes=planes, notb=(~mask).astype(jnp.float32), dinv=dinv,
+            planes=planes,
+            notb=_constrain_rows((~mask).astype(jnp.float32), fs, 0),
+            dinv=_constrain_rows(dinv, fs, 0),
             onehot=onehot, sidx=ts.sidx, sisland=ts.sisland,
             zaz_inv=(1.0 / zaz).astype(jnp.float32)))
         if i + 1 < len(tiles):
@@ -490,7 +531,8 @@ def _deflate(level: LapLevel, u: jax.Array, rhs: jax.Array) -> jax.Array:
 
 def vcycle(levels: List[LapLevel], rhs: jax.Array, u0: jax.Array,
            omega: float = 0.85, nu1: int = 2, nu2: int = 2,
-           coarse_sweeps: int = 32, kappa: float = 2.0) -> jax.Array:
+           coarse_sweeps: int = 32, kappa: float = 2.0,
+           field_sharding=None) -> jax.Array:
     """One deflated V-cycle for A u = rhs with u clamped (= 0 correction)
     at Dirichlet cells; recursion unrolled at trace time.
 
@@ -498,7 +540,12 @@ def vcycle(levels: List[LapLevel], rhs: jax.Array, u0: jax.Array,
     piecewise-constant-aggregated Galerkin operator is ~2x too stiff for
     smooth modes (their energy concentrates at aggregate jumps), and
     kappa = 2 compensates — measured on a uniform field at 460x460,
-    asymptotic rate 0.91 (kappa 1) -> 0.69 (kappa 2)."""
+    asymptotic rate 0.91 (kappa 1) -> 0.69 (kappa 2).
+
+    ``field_sharding`` pins the inter-level transfer outputs to the row
+    mesh (the transfers contract the sharded axis, where GSPMD otherwise
+    prefers to gather; see _constrain_rows)."""
+    fs = field_sharding
 
     def cycle(idx: int, u: jax.Array, rhs: jax.Array) -> jax.Array:
         level = levels[idx]
@@ -509,9 +556,10 @@ def vcycle(levels: List[LapLevel], rhs: jax.Array, u0: jax.Array,
         u = _deflate(level, u, rhs)
         r = (rhs - _apply_lap(level.planes, u)) * level.notb
         coarse = levels[idx + 1]
-        r_c = _restrict(r) * coarse.notb
+        r_c = _constrain_rows(_restrict(r), fs, 0) * coarse.notb
         e_c = cycle(idx + 1, jnp.zeros(coarse.shape, r.dtype), r_c)
-        u = u + kappa * _prolong_pc(e_c, level.shape) * level.notb
+        pe = _constrain_rows(_prolong_pc(e_c, level.shape), fs, 0)
+        u = u + kappa * pe * level.notb
         u = _deflate(level, u, rhs)
         return _smooth(level, u, rhs, omega, nu2)
 
@@ -589,7 +637,7 @@ _GCR_K = 3  # truncated-GCR history depth (Orthomin(k))
 
 
 def _gcr_solve(levels: List[LapLevel], rhs: jax.Array, maxiter,
-               tol_abs) -> jax.Array:
+               tol_abs, field_sharding=None) -> jax.Array:
     """Solve A x = rhs (x clamped 0 at Dirichlet) by truncated flexible
     GCR preconditioned with one deflated V-cycle per iteration.
 
@@ -613,12 +661,14 @@ def _gcr_solve(levels: List[LapLevel], rhs: jax.Array, maxiter,
         return jnp.linalg.norm(r * top.dinv)
 
     x0 = jnp.zeros_like(rhs)
-    buf = jnp.zeros((_GCR_K,) + rhs.shape, rhs.dtype)
+    buf = _constrain_rows(jnp.zeros((_GCR_K,) + rhs.shape, rhs.dtype),
+                          field_sharding, 1)
 
     def body(carry):
         x, Z, Q, it, _, rn_prev = carry
         r = (rhs - _apply_lap(top.planes, x)) * notb
-        z = vcycle(levels, r, jnp.zeros_like(x)) * notb
+        z = vcycle(levels, r, jnp.zeros_like(x),
+                   field_sharding=field_sharding) * notb
         q = _apply_lap(top.planes, z) * notb
 
         def ortho(i, zq):
@@ -655,14 +705,16 @@ def _gcr_solve(levels: List[LapLevel], rhs: jax.Array, maxiter,
 
 @functools.partial(jax.jit,
                    static_argnames=('maxcycles', 'refine', 'tol',
-                                    'num_segments'))
+                                    'num_segments', 'field_sharding'))
 def _solve_refined_jit(conductivity, bmask, bvals, tiles,
                        num_segments: int,
-                       tol: float, maxcycles: int, refine: int):
+                       tol: float, maxcycles: int, refine: int,
+                       field_sharding=None):
     bmask = jnp.asarray(bmask, bool)
     bvals = jnp.asarray(bvals, jnp.float32)
     planes = weight_planes(conductivity)
-    levels = build_lap_levels(planes, bmask, tiles, num_segments)
+    levels = build_lap_levels(planes, bmask, tiles, num_segments,
+                              field_sharding=field_sharding)
     top = levels[0]
     notb = top.notb
     u0 = jnp.where(bmask, bvals, 500.)
@@ -722,7 +774,8 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles,
         # exits early once the f32 floor is hit.
         delta, _ = _gcr_solve(levels, r_hi, maxcycles,
                               jnp.maximum(0.02 * scaled_norm(r_hi),
-                                          jnp.float32(0.5) * target))
+                                          jnp.float32(0.5) * target),
+                              field_sharding=field_sharding)
         uds = ds_add(uds, ds_from(delta * notb))
         r_hi = ds_resid(uds)
         uds = _island_correction(uds, r_hi, top)
