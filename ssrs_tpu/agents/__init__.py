@@ -7,7 +7,8 @@ from .presence import (compute_presence_counts,
                        compute_smooth_presence_counts, circular_kernel,
                        smooth_presence, smooth_presence_from_counts)
 from .simulate import (SimState, TrackParams, harmonic_mean_weights,
-                       init_state, make_step_fn, prepared_weights,
+                       init_state, make_step_fn, prepare_starts,
+                       prepared_weights,
                        simulate_presence, simulate_presence_cases,
                        simulate_presence_compacting,
                        simulate_tracks_recorded)
@@ -19,7 +20,8 @@ __all__ = [
     'compute_presence_counts', 'compute_smooth_presence_counts',
     'circular_kernel', 'smooth_presence', 'smooth_presence_from_counts',
     'SimState', 'TrackParams', 'harmonic_mean_weights', 'init_state',
-    'make_step_fn', 'prepared_weights', 'simulate_presence',
+    'make_step_fn', 'prepare_starts', 'prepared_weights',
+    'simulate_presence',
     'simulate_presence_cases', 'simulate_presence_compacting',
     'simulate_tracks_recorded', 'get_starting_indices',
 ]

@@ -156,6 +156,7 @@ def harmonic_mean_weights(updraft: jax.Array,
     return jnp.stack(layers, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=('dtype',))
 def prepared_weights(updraft: jax.Array, potential: Optional[jax.Array],
                      dirp: jax.Array, dtype) -> jax.Array:
     """Move-weight table with the per-agent cascade prologue folded in.
@@ -165,6 +166,11 @@ def prepared_weights(updraft: jax.Array, potential: Optional[jax.Array],
     clip to >= 0, zero the center — depend only on the cell, so they are
     applied once here instead of at every agent-step. Returns the
     flattened (nrow*ncol, 9) table in the requested storage dtype.
+
+    Jitted as ONE dispatch: eagerly, its ~60 elementwise ops each pay
+    the axon tunnel's per-dispatch overhead — measured 220 ms of a
+    380 ms warm bench run (scripts/exp_prologue.py) for ~1 ms of
+    device compute.
     """
     base = harmonic_mean_weights(updraft, potential)
     center0 = jnp.asarray(CENTER_ZERO)
@@ -411,10 +417,12 @@ def _make_xla_step(params: TrackParams, base_flat: Optional[jax.Array],
     return step
 
 
+@functools.partial(jax.jit, static_argnames=('params',))
 def init_state(params: TrackParams, start_rc: jax.Array,
                key: jax.Array,
                valid: Optional[jax.Array] = None) -> SimState:
-    """Initial state. The start cell counts toward presence (the reference
+    """Initial state (one jitted dispatch — see prepared_weights on why).
+    The start cell counts toward presence (the reference
     trajectory includes the start, ssrs/movmodel.py:281-283) — it is the
     first pending delayed update (``palive = valid``), added by the first
     step or the final flush.
@@ -444,11 +452,20 @@ def init_state(params: TrackParams, start_rc: jax.Array,
 def _pad_starts(params: TrackParams, start_rc, valid,
                 base_flat_given: bool):
     """Pad the agent batch to a multiple of FUSED_BLK when the fused
-    engine will run (padding agents start dead)."""
+    engine will run (padding agents start dead).
+
+    Device-resident inputs that need no padding pass through untouched:
+    converting them to numpy here would pull ~800 KB back through the
+    tunnel per run (see prepare_starts for the hoisted multi-case
+    pattern)."""
+    impl = resolve_step_impl(params, base_flat_given)
+    needs_pad = (impl in ('fused', 'fused-interpret')
+                 and start_rc.shape[0] % FUSED_BLK != 0)
+    if isinstance(start_rc, jax.Array) and not needs_pad:
+        return start_rc, valid
     start_rc = np.asarray(start_rc, np.int32)
     n = start_rc.shape[0]
-    impl = resolve_step_impl(params, base_flat_given)
-    if impl not in ('fused', 'fused-interpret') or n % FUSED_BLK == 0:
+    if not needs_pad:
         return start_rc, valid
     n_pad = _round_up(n, FUSED_BLK) - n
     starts = np.concatenate(
@@ -460,6 +477,24 @@ def _pad_starts(params: TrackParams, start_rc, valid,
         valid_arr = np.concatenate(
             [np.asarray(valid, bool), np.zeros(n_pad, bool)])
     return np.ascontiguousarray(starts), valid_arr
+
+
+def prepare_starts(params: TrackParams, start_rc, valid=None,
+                   has_table: bool = True):
+    """Pad + device-put a start batch ONCE for reuse across cases.
+
+    A multi-case sweep (8 wind directions, seasonal snapshots, bench
+    repetitions) reuses the same starts; letting each
+    ``simulate_presence_compacting`` call re-pad and re-upload them costs
+    an ~800 KB tunnel transfer per case at 100k tracks. The returned
+    (starts, valid) pair is device-resident and already padded, so
+    ``_pad_starts`` passes it through untouched.
+    """
+    starts_p, valid_p = _pad_starts(params, start_rc, valid, has_table)
+    starts_d = jax.device_put(jnp.asarray(starts_p, jnp.int32))
+    valid_d = None if valid_p is None \
+        else jax.device_put(jnp.asarray(valid_p, bool))
+    return starts_d, valid_d
 
 
 def _presence_out(params: TrackParams, presence: jax.Array) -> jax.Array:
@@ -691,8 +726,12 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
         if native_available() else None
     if builder is None:
         traj = [[start_rc[i:i + 1]] for i in range(n)]
-    n_alive = int(jnp.sum(state.alive))
-    while int(state.step) < params.nsteps and n_alive > 0:
+    # host step counter + optimistic initial alive count: see the sync
+    # discipline note in simulate_presence_compacting
+    steps_done = 0
+    n_alive = state.pos_r.shape[0]
+    while steps_done < params.nsteps and n_alive > 0:
+        steps_done += chunk
         state, n_alive_dev, (ys_pos, ys_alive) = _run_chunk_recording(
             params, base_flat, dirp, table, state, chunk)
         n_alive = int(n_alive_dev)
@@ -820,7 +859,18 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     min_bucket = _fused_quantize(params, base_flat is not None,
                                  min_bucket)
     quantum = _fused_quantum(params, base_flat is not None)
-    n_alive = int(jnp.sum(state.alive))
+    # Host-side sync discipline: every device->host scalar read pays a
+    # full tunnel RTT (~30-80 ms depending on session) SERIALIZED after
+    # the chunk's device work, and the measured warm run is only 2-3
+    # chunks — reads were ~40% of wall. The step counter needs no read
+    # at all (init_state starts at 0 and every chunk advances exactly
+    # `chunk`), and the initial alive count is taken optimistically as
+    # the bucket size: if every start were dead the first chunk is a
+    # semantic no-op (alive gating) and its count read ends the loop.
+    # That leaves exactly ONE sync per chunk (the compaction decision)
+    # and ZERO on the tail path.
+    steps_done = 0
+    n_alive = state.pos_r.shape[0]
     import os as _os
     import time as _time
     _dbg = _os.environ.get('SSRS_CHUNK_DEBUG')
@@ -835,7 +885,7 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     # switch condition floors tail_bucket there.
     if tail_bucket == 0:
         tail_bucket = min_bucket
-    while int(state.step) < params.nsteps and n_alive > 0:
+    while steps_done < params.nsteps and n_alive > 0:
         _t0 = _time.perf_counter()
         cur = state.pos_r.shape[0]
         if tail_bucket > 0 and cur <= max(min_bucket, tail_bucket):
@@ -843,14 +893,14 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
             # one dispatch (device-side early exit; flushes internally)
             state, n_alive_dev = _run_tail(params, base_flat, dirp,
                                            table, state, chunk)
-            n_alive = int(n_alive_dev)
             if _dbg:
-                print(f'[tail]  bucket={cur} alive={n_alive} '
+                print(f'[tail]  bucket={cur} alive={int(n_alive_dev)} '
                       f'steps={int(state.step)} '
                       f'dt={_time.perf_counter()-_t0:.3f}s', flush=True)
             return _presence_out(params, state.presence), state.step
         state, n_alive_dev = _run_chunk(params, base_flat, dirp, table,
                                         state, chunk)
+        steps_done += chunk
         n_alive = int(n_alive_dev)
         if _dbg:
             print(f'[chunk] bucket={state.pos_r.shape[0]} '
