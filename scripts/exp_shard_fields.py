@@ -97,4 +97,5 @@ def main(shape=(512, 512)):
 
 
 if __name__ == '__main__':
-    main()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    main((n, n))
