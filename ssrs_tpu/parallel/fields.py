@@ -17,7 +17,11 @@ halos), 115 small all-reduces (GCR dots, deflation segsums), and only
 9 all-gathers, the largest an 8×8 routing array — no full-field
 gathers anywhere. The sharded solve returns the same answer as the
 single-device one (rrel identical at 6.7e-8; field max-diff 9e-3 out of
-1000 from f32 reduction-order). tests/test_shard_fields.py pins all of
+1000 from f32 reduction-order). At 2048² (4.2M cells) the profile is
+unchanged — 2951 permutes, 129 all-reduces, largest all-gather still
+8×8 — and both solves land at rrel ~8e-6 with max-diff 0.57/1000 (two
+approximate solutions to a hard field, inside the oracle tolerance used
+by tests/test_potential.py). tests/test_shard_fields.py pins all of
 this: smoother bit-identity, full-solve tolerance, and an HLO
 collective-size bound.
 
