@@ -732,11 +732,13 @@ def simulate_tracks_recorded(params: TrackParams, start_rc,
     n_alive = state.pos_r.shape[0]
     while steps_done < params.nsteps and n_alive > 0:
         steps_done += chunk
-        state, n_alive_dev, (ys_pos, ys_alive) = _run_chunk_recording(
+        state, _, (ys_pos, ys_alive) = _run_chunk_recording(
             params, base_flat, dirp, table, state, chunk)
-        n_alive = int(n_alive_dev)
         ys_pos = np.asarray(ys_pos)          # (chunk, B, 2)
         ys_alive = np.asarray(ys_alive)      # (chunk, B)
+        # post-chunk alive count comes free with the pulled emissions
+        # (rows are post-step alive masks), saving a scalar sync
+        n_alive = int(ys_alive[-1].sum())
         ids_h = np.asarray(ids)
         if n_padded != n:
             # padding agents are dead from step 0 and emit nothing; mask
