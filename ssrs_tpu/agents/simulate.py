@@ -616,6 +616,30 @@ def _run_tail(params: TrackParams, base_flat, dirp, table, state,
     return state, jnp.sum(state.alive)
 
 
+_DISPATCH_OVERHEAD = None
+# auto tail-switch per-slot device-cost estimates, keyed (params, chunk)
+_PER_SLOT: dict = {}
+
+
+def _dispatch_overhead() -> float:
+    """One measured host->device dispatch + device->host scalar read
+    round trip (seconds), cached per process. ~50-80 ms through the axon
+    tunnel, sub-ms on a locally attached device — the live input to the
+    compacting driver's auto tail-switch rule."""
+    global _DISPATCH_OVERHEAD
+    if _DISPATCH_OVERHEAD is None:
+        import time as _time
+        f = jax.jit(lambda x: x + 1)
+        x = jnp.zeros((), jnp.int32)
+        int(f(x))  # compile + device-put outside the timed trip
+        t0 = _time.perf_counter()
+        int(f(x))
+        t1 = _time.perf_counter()
+        int(f(x))
+        _DISPATCH_OVERHEAD = min(t1 - t0, _time.perf_counter() - t1)
+    return _DISPATCH_OVERHEAD
+
+
 def _bucket_for(n_alive: int, min_bucket: int,
                 quantum: int = 1) -> int:
     """Smallest {1, 1.5} * 2^k >= n_alive (>= min_bucket) that is also a
@@ -876,23 +900,37 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     import os as _os
     import time as _time
     _dbg = _os.environ.get('SSRS_CHUNK_DEBUG')
-    # Switch to the one-dispatch tail once no compaction is possible.
-    # Raising tail_bucket trades dead-slot waste for saved ~50 ms/chunk
-    # host RTTs; measured on the bench decay, an earlier switch (12x
-    # min_bucket) LOSES — per-step cost at a 12k bucket is ~128 us and
-    # the survivors run thousands more steps — so the default (0) maps
-    # to min_bucket. Negative disables the tail entirely (testing).
-    # Positive values below min_bucket are equivalent to min_bucket: the
-    # bucket never shrinks below min_bucket, so the cur <= max(...)
-    # switch condition floors tail_bucket there.
-    if tail_bucket == 0:
+    # Tail-switch policy. tail_bucket > 0: switch once the bucket is at
+    # or below it; negative: never (testing). Default 0 = AUTO: switch
+    # as soon as one chunk's device work at the new bucket costs less
+    # than the per-round host overhead, i.e.
+    # m * chunk * per_slot < 2 * rtt. The measured scalar round trip
+    # `rtt` is a LOWER bound on what each chunked round really pays —
+    # dispatch enqueues ride the same tunnel, and skipping the last
+    # chunked round measured ~4x rtt saved (398 -> 289 ms/run on the
+    # bench decay, scripts/exp_tail_switch.py) — so the factor 2 keeps
+    # the rule from missing marginal cases while still bounding the
+    # dead-slot waste any uncompactable tail round can accrue at
+    # <= 2*rtt, below the observed per-round saving. Both terms are
+    # measured live (rtt once per process, per_slot from observed chunk
+    # walls); on a locally-attached device with sub-ms dispatch the rule
+    # degenerates to the old min_bucket switch.
+    auto_tail = tail_bucket == 0
+    if auto_tail:
         tail_bucket = min_bucket
+    rtt = _dispatch_overhead() if auto_tail else 0.
+    # per_slot persists across calls (min over all observed chunks for
+    # this workload shape): a cold first call folds compile time into
+    # its chunk walls and would never switch; warm repeat calls then
+    # start with an honest estimate.
+    ps_key = (params, chunk)
+    per_slot = _PER_SLOT.get(ps_key)
     while steps_done < params.nsteps and n_alive > 0:
         _t0 = _time.perf_counter()
         cur = state.pos_r.shape[0]
         if tail_bucket > 0 and cur <= max(min_bucket, tail_bucket):
-            # no further compaction possible: run the whole remainder in
-            # one dispatch (device-side early exit; flushes internally)
+            # run the whole remainder in one dispatch (device-side early
+            # exit; flushes internally)
             state, n_alive_dev = _run_tail(params, base_flat, dirp,
                                            table, state, chunk)
             if _dbg:
@@ -904,12 +942,20 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
                                         state, chunk)
         steps_done += chunk
         n_alive = int(n_alive_dev)
+        wall = _time.perf_counter() - _t0
+        if auto_tail:
+            # device-work estimate: chunk wall minus the round trip
+            est = max(wall - rtt, 1e-9) / (cur * chunk)
+            per_slot = est if per_slot is None else min(per_slot, est)
+            _PER_SLOT[ps_key] = per_slot
         if _dbg:
             print(f'[chunk] bucket={state.pos_r.shape[0]} '
                   f'alive={n_alive} steps={int(state.step)} '
-                  f'dt={_time.perf_counter()-_t0:.3f}s', flush=True)
+                  f'dt={wall:.3f}s', flush=True)
         if n_alive > 0 and cur > min_bucket:
             m = _bucket_for(n_alive, min_bucket, quantum)
             if m < cur:
                 state = _compact(params, state, m)
+                if auto_tail and m * chunk * per_slot < 2 * rtt:
+                    tail_bucket = m  # switch on the next iteration
     return _final_flush(params, state)
