@@ -131,14 +131,15 @@ def main():
     # no production pattern (the Simulator's multi-case pipeline also
     # accumulates presence on device). np.asarray is the reliable sync
     # on axon (block_until_ready is not — see CLAUDE.md).
-    tot_dev = jnp.zeros((), jnp.int64 if jax.config.x64_enabled
-                        else jnp.int32)
+    accumulate = jax.jit(lambda tot, smax, presence, s:
+                         (tot + jnp.sum(presence), jnp.maximum(smax, s)))
+    tot_dev = jnp.zeros((), jnp.int32)
     steps_dev = jnp.zeros((), jnp.int32)
+    accumulate(tot_dev, steps_dev, presence, steps)  # compile
     t0 = time.perf_counter()
     for i in range(1, n_runs + 1):
         presence, s = run(jax.random.key(i))
-        tot_dev = tot_dev + jnp.sum(presence)
-        steps_dev = jnp.maximum(steps_dev, s)
+        tot_dev, steps_dev = accumulate(tot_dev, steps_dev, presence, s)
     total_presence = int(np.asarray(tot_dev))
     dt_total = time.perf_counter() - t0
     steps = int(steps_dev)

@@ -621,6 +621,17 @@ _DISPATCH_OVERHEAD = None
 _PER_SLOT: dict = {}
 
 
+@functools.partial(jax.jit, static_argnames=('params',))
+def _prologue_jit(params: TrackParams, updraft, potential, dirp,
+                  starts_p, key, valid):
+    """Weight table + initial state in ONE dispatch (each enqueue rides
+    the tunnel; see prepared_weights)."""
+    base_flat = prepared_weights(updraft, potential, dirp,
+                                 params.weight_dtype)
+    state = init_state(params, starts_p, key, valid=valid)
+    return base_flat, state
+
+
 def _dispatch_overhead() -> float:
     """One measured host->device dispatch + device->host scalar read
     round trip (seconds), cached per process. ~50-80 ms through the axon
@@ -873,18 +884,16 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     """
     dirp = jnp.asarray(directional_probs(params.move_dirn))
     table = jnp.asarray(restriction_table())
-    if updraft is not None:
-        base_flat = prepared_weights(updraft, potential, dirp,
-                                     params.weight_dtype)
+    has_table = updraft is not None
+    starts_p, valid = _pad_starts(params, start_rc, valid, has_table)
+    if has_table:
+        base_flat, state = _prologue_jit(params, updraft, potential,
+                                         dirp, starts_p, key, valid)
     else:
         base_flat = None
-
-    starts_p, valid = _pad_starts(params, start_rc, valid,
-                                  base_flat is not None)
-    state = init_state(params, starts_p, key, valid=valid)
-    min_bucket = _fused_quantize(params, base_flat is not None,
-                                 min_bucket)
-    quantum = _fused_quantum(params, base_flat is not None)
+        state = init_state(params, starts_p, key, valid=valid)
+    min_bucket = _fused_quantize(params, has_table, min_bucket)
+    quantum = _fused_quantum(params, has_table)
     # Host-side sync discipline: every device->host scalar read pays a
     # full tunnel RTT (~30-80 ms depending on session) SERIALIZED after
     # the chunk's device work, and the measured warm run is only 2-3
