@@ -80,6 +80,8 @@ def _shard_tiles(tiles, mesh: Mesh, shape: Tuple[int, int]):
             lidx=put_t(ts.lidx), slots=put_t(ts.slots),
             sidx=jax.device_put(ts.sidx, rep),
             sisland=jax.device_put(ts.sisland, rep),
+            ocell=jax.device_put(ts.ocell, rep),
+            oisland=jax.device_put(ts.oisland, rep),
             labels=put_t(ts.labels)
             if ts.labels.shape[0] % n == 0 and ts.labels.shape[0] >= n
             else jax.device_put(ts.labels, rep)))

@@ -42,8 +42,13 @@ exp_deflate.py / exp_rp.py): XLA lowers ``jax.ops.segment_sum`` and
 128-lane minor axis (~200 ms). Every per-island reduction here therefore
 goes through a *tiled label dictionary*: islands are spatially local, so
 a 32x32 tile touches only a few distinct labels; per-island sums become a
-batched one-hot matmul (MXU, streaming) over per-tile local slots plus a
-small second stage over active slots only, and transfer operators are
+fused masked reduction over dense per-tile slots (round 3: 8
+frequency-ordered slots + an exact COO list for the rare overflow
+cells — the round-2 (T, C, L_max) f32 one-hots this replaced were
+4.3 GB at the 4096² fine level and made the full solve fall off a
+memory/bandwidth cliff there: warm 28.6 s -> 4.6 s, same f64-oracle
+error; scripts/exp_deflate2.py, exp_tiles.py) plus a small second
+stage over active slots only, and transfer operators are
 ``reduce_window`` / selector-matrix matmuls.
 
 Reference semantics: ``MovModel.solve_sparse_linear_system``
@@ -240,12 +245,30 @@ def _prolong_pc(e: jax.Array, fine_shape: Tuple[int, int]) -> jax.Array:
 _TILE = 32
 
 
+_DENSE_L = 8  # dense one-hot slots per tile; the rest go to the COO
+
+
 class TileSeg(NamedTuple):
-    """Host-built per-level tile structure (device arrays)."""
+    """Host-built per-level tile structure (device arrays).
+
+    Slots are frequency-ordered per tile (slot 0 pinned to background,
+    slots 1..7 the most populous islands): the dense one-hot then covers
+    >97% of cells on the traffic-dominant fine levels with L=8 instead
+    of the per-level max label count (64-512 on hard 4096² fields) — an
+    8-64x cut in the HBM bytes every deflation einsum re-reads, which
+    dominated the V-cycle (measured: 52 ms/cycle of which ~45 was
+    deflation one-hot traffic, scripts/exp_deflate2.py). The few cells
+    whose island didn't make a tile's top 7 are carried exactly in a
+    per-level COO list (ocell/oisland) and summed/scattered directly.
+    """
     lidx: jax.Array     # (T, C) int16: tile-local slot of each cell
-    slots: jax.Array    # (T, L) int32: global label per slot (0 = none)
-    sidx: jax.Array     # (S,) int32: flat t*L+l of active slots (0-pad)
+    #                     (values >= _DENSE_L mean "in the COO list")
+    slots: jax.Array    # (T, 8) int32: global label per dense slot
+    sidx: jax.Array     # (S,) int32: flat t*8+l of active slots (0-pad)
     sisland: jax.Array  # (S,) int32: island id per active slot (0-pad)
+    ocell: jax.Array    # (O,) int32: flat tile-major cell index of
+    #                     overflow cells (0-pad; routes to island 0)
+    oisland: jax.Array  # (O,) int32: island id per overflow cell (0-pad)
     labels: jax.Array   # (nrow, ncol) int32 dense labels (zaz build only)
 
 
@@ -272,41 +295,53 @@ def _from_tiles(xt: jax.Array, shape: Tuple[int, int]) -> jax.Array:
     return x.reshape(mp, npad)[:shape[0], :shape[1]]
 
 
-def _onehot_slots(lidx: jax.Array, L: int) -> jax.Array:
-    """(T, C, L) f32 one-hot of tile-local slots.
+def _tile_segsum(x: jax.Array, lidx: jax.Array, sidx: jax.Array,
+                 sisland: jax.Array, num: int,
+                 ocell: jax.Array, oisland: jax.Array) -> jax.Array:
+    """Per-island sums of x: dense-8 masked reduction + S-sized routing,
+    plus the exact COO contribution of overflow cells. Padded ocell
+    entries point at cell 0 / island 0, whose sum is never used.
 
-    f32 + HIGHEST-precision einsums, NOT bf16: deflation divides the
-    per-island residual sum by zaz ~ 1e-8, amplifying any sum error by
-    ~1e8 — bf16 truncation (even a 2-pass hi/lo split) visibly degraded
-    both the cycle rate and the final residual on hardware (measured:
-    rrel 3e-4 vs 1e-5, stationary rates bouncing above 1). The einsums
-    are bandwidth-bound, so f32 costs ~2x bf16 bytes and nothing more."""
-    return (lidx[..., None] ==
-            jnp.arange(L, dtype=lidx.dtype)).astype(jnp.float32)
+    The slot selector ``lidx == l`` is fused into the reduction — no
+    one-hot array ever reaches HBM. The round-2 design materialized a
+    (T, C, L_max) f32 one-hot per level (4.3 GB at 4096² fine level)
+    and re-read it in every deflation einsum, which was ~60% of the
+    V-cycle; a dense-8 one-hot did not help until it was realized the
+    minor L axis is lane-padded to 128 (16x physical bytes), and the
+    (T, 8, C) transpose still lowered to a ~5 ms matmul. The fused
+    compare-select-reduce reads only lidx (int16) + x — ~100 MB.
 
-
-def _tile_partials(x: jax.Array, onehot: jax.Array) -> jax.Array:
-    """(T, L) per-tile per-slot sums of x (f32-exact accumulation)."""
-    return jnp.einsum('tc,tcl->tl', _to_tiles(x), onehot, precision=_HI)
-
-
-def _tile_segsum(x: jax.Array, ts_onehot: jax.Array, sidx: jax.Array,
-                 sisland: jax.Array, num: int) -> jax.Array:
-    """Per-island sums of x: batched one-hot matmul + S-sized routing."""
-    part = _tile_partials(x, ts_onehot)
+    Accumulation is f32 (the reduce), same numerics class as the
+    HIGHEST-precision einsum it replaces; deflation's 1e-8 zaz division
+    forbids bf16 anywhere in this path (measured, see git history)."""
+    xt = _to_tiles(x)
+    sel = (lidx[:, None, :] ==
+           jnp.arange(_DENSE_L, dtype=lidx.dtype)[None, :, None])
+    part = jnp.sum(jnp.where(sel, xt[:, None, :], 0.), axis=2)  # (T, 8)
     vals = part.reshape(-1)[sidx]
-    return jax.ops.segment_sum(vals, sisland, num_segments=num)
+    ovals = xt.reshape(-1)[ocell]
+    return jax.ops.segment_sum(jnp.concatenate([vals, ovals]),
+                               jnp.concatenate([sisland, oisland]),
+                               num_segments=num)
 
 
-def _tile_broadcast(c: jax.Array, ts_onehot: jax.Array, sidx: jax.Array,
-                    sisland: jax.Array,
-                    shape: Tuple[int, int]) -> jax.Array:
+def _tile_broadcast(c: jax.Array, lidx: jax.Array, sidx: jax.Array,
+                    sisland: jax.Array, shape: Tuple[int, int],
+                    ocell: jax.Array, oisland: jax.Array) -> jax.Array:
     """Per-cell image of per-island values c (c[0] must be 0): S-sized
-    routing into per-tile slots + transposed one-hot matmul."""
-    T, C, L = ts_onehot.shape
+    routing into per-tile slots + fused slot-select back-broadcast (each
+    cell matches at most one slot, so the sum over l picks exactly its
+    value — order-independent), plus a scatter for the overflow cells
+    (padded entries add c[0] == 0 to cell 0 — harmless by the caller
+    contract)."""
+    T, C = lidx.shape
+    L = _DENSE_L
     cvals = c[sisland]
     cl = jnp.zeros((T * L,), c.dtype).at[sidx].set(cvals).reshape(T, L)
-    back = jnp.einsum('tl,tcl->tc', cl, ts_onehot, precision=_HI)
+    sel = (lidx[:, None, :] ==
+           jnp.arange(L, dtype=lidx.dtype)[None, :, None])
+    back = jnp.sum(jnp.where(sel, cl[:, :, None], 0.), axis=1)  # (T, C)
+    back = back.reshape(-1).at[ocell].add(c[oisland]).reshape(T, C)
     return _from_tiles(back, shape)
 
 
@@ -368,21 +403,46 @@ def _build_tile_level(labels: np.ndarray):
     big = (dpad + offs).ravel()
     pos = np.searchsorted(big, (lt.astype(np.int64) + offs).ravel())
     lidx = (pos.reshape(T, C) -
-            np.arange(T, dtype=np.int64)[:, None] * L).astype(np.int16)
+            np.arange(T, dtype=np.int64)[:, None] * L).astype(np.int32)
+
+    # frequency-reorder slots per tile (slot 0 pinned to background) so
+    # the first _DENSE_L slots cover the most populous islands; cells of
+    # the remaining rare islands are carried exactly by the COO list
+    counts = np.zeros((T, L), np.int64)
+    np.add.at(counts, (np.broadcast_to(np.arange(T)[:, None], lidx.shape),
+                       lidx), 1)
+    key = counts.copy()
+    key[:, 0] = np.iinfo(np.int64).max  # pin background at slot 0
+    order = np.argsort(-key, axis=1, kind='stable')   # new pos -> old slot
+    inv = np.empty_like(order)
+    np.put_along_axis(inv, order,
+                      np.broadcast_to(np.arange(L)[None, :], (T, L)),
+                      axis=1)                          # old slot -> new pos
+    lidx = inv[np.arange(T)[:, None], lidx].astype(np.int16)
+    slots = np.take_along_axis(slots, order, axis=1)[:, :_DENSE_L]
+
     flat = slots.ravel()
     sidx = np.nonzero(flat)[0].astype(np.int32)
     sisland = flat[sidx].astype(np.int32)
-    # quantize S in powers of 4: S only sizes tiny routing vectors, and
-    # every distinct (num, L, S) combination is a separate XLA compile —
-    # a seasonal sweep with per-case fields was paying ~2-4 min per
-    # combination (measured: 24 cases cost 800 s of mostly compiles)
+    over = (lidx >= _DENSE_L).ravel()
+    ocell = np.nonzero(over)[0].astype(np.int32)
+    oisland = lt.reshape(-1)[ocell].astype(np.int32)
+    # quantize S/O in powers of 4: they only size small routing vectors,
+    # and every distinct (num, S, O) combination is a separate XLA
+    # compile — a seasonal sweep with per-case fields was paying
+    # ~2-4 min per combination (measured: 24 cases cost 800 s of mostly
+    # compiles)
     S = 256
     while S < len(sidx):
         S *= 4
-    pad = S - len(sidx)
-    sidx = np.pad(sidx, (0, pad))
-    sisland = np.pad(sisland, (0, pad))
-    return lidx, slots, sidx, sisland
+    sidx = np.pad(sidx, (0, S - len(sidx)))
+    sisland = np.pad(sisland, (0, S - len(sisland)))
+    O = 256
+    while O < len(ocell):
+        O *= 4
+    ocell = np.pad(ocell, (0, O - len(ocell)))
+    oisland = np.pad(oisland, (0, O - len(oisland)))
+    return lidx, slots, sidx, sisland, ocell, oisland
 
 
 def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
@@ -393,9 +453,10 @@ def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
     lab = np.asarray(labels, np.int32)
     bm = np.asarray(bmask, bool)
     while True:
-        lidx, slots, sidx, sisland = _build_tile_level(lab)
+        lidx, slots, sidx, sisland, ocell, oisland = _build_tile_level(lab)
         out.append(TileSeg(lidx=lidx, slots=slots, sidx=sidx,
-                           sisland=sisland, labels=lab))
+                           sisland=sisland, ocell=ocell,
+                           oisland=oisland, labels=lab))
         if min(lab.shape) <= min_size:
             break
         lab, bm = _host_coarsen_labels(lab, bm)
@@ -411,9 +472,11 @@ class LapLevel(NamedTuple):
     planes: jax.Array   # (8, nrow, ncol) difference-form edge weights
     notb: jax.Array     # (nrow, ncol) 1.0 where NOT Dirichlet
     dinv: jax.Array     # (nrow, ncol) 1/sum_d W_d (0 where D == 0)
-    onehot: jax.Array   # (T, C, L) f32 tile-slot one-hot (see _onehot_slots)
+    lidx: jax.Array     # (T, C) int16 tile-local slot per cell
     sidx: jax.Array     # (S,) active-slot flat indices
     sisland: jax.Array  # (S,) island id per active slot
+    ocell: jax.Array    # (O,) overflow-cell flat tile-major indices
+    oisland: jax.Array  # (O,) island id per overflow cell
     zaz_inv: jax.Array  # (num,) 1/(z_I^T A z_I); index 0 unused
 
     @property
@@ -421,9 +484,10 @@ class LapLevel(NamedTuple):
         return self.planes.shape[-2:]
 
 
-def island_zaz(planes: jax.Array, labels: jax.Array, onehot: jax.Array,
+def island_zaz(planes: jax.Array, labels: jax.Array, lidx: jax.Array,
                sidx: jax.Array, sisland: jax.Array,
-               num_segments: int) -> jax.Array:
+               num_segments: int, ocell: jax.Array,
+               oisland: jax.Array) -> jax.Array:
     """z_I^T A z_I = total leak weight out of each island: the sum of
     W edges from island cells to cells with a different label (one tiled
     segsum over the summed cross-edge planes)."""
@@ -436,7 +500,8 @@ def island_zaz(planes: jax.Array, labels: jax.Array, onehot: jax.Array,
                            (dr + 1 + nrow, dc + 1 + ncol))
         cross = (lab > 0) & (nb != lab)
         total = total + jnp.where(cross, planes[k], 0.)
-    zaz = _tile_segsum(total, onehot, sidx, sisland, num_segments)
+    zaz = _tile_segsum(total, lidx, sidx, sisland, num_segments,
+                       ocell, oisland)
     zaz = zaz.at[0].set(1.0)  # background: never used
     return jnp.maximum(zaz, 1e-30)
 
@@ -448,8 +513,9 @@ def _constrain_rows(x: jax.Array, fs, axis: int) -> jax.Array:
     sharded solve (parallel/fields.py): without explicit per-level
     constraints GSPMD replicates every level below the finest (measured:
     an ncells/2 all-gather at the level-0/1 prolongation), which at
-    8192²-class grids would replicate the ~1 GB level-1 tile one-hot and
-    planes and defeat the point of sharding."""
+    8192²-class grids would replicate the level-1 planes (and, before
+    round 3's COO deflation, GB-scale tile one-hots) and defeat the
+    point of sharding."""
     if fs is None:
         return x
     n = fs.mesh.devices.size
@@ -479,22 +545,23 @@ def build_lap_levels(planes: jax.Array, bmask: jax.Array,
         assert planes.shape[-2:] == ts.labels.shape, \
             (planes.shape, ts.labels.shape)
         planes = _constrain_rows(planes, fs, 1)
-        onehot = _onehot_slots(ts.lidx, ts.slots.shape[1])
+        lidx = ts.lidx
         if fs is not None:
             # the tile axis T = tr*tc is row-major over the tile grid:
             # sharding it matches field rows only when tr divides evenly
             tr = _tiled_dims(ts.labels.shape)[0] // _TILE
             if tr % fs.mesh.devices.size == 0:
-                onehot = _constrain_rows(onehot, fs, 0)
+                lidx = _constrain_rows(lidx, fs, 0)
         diag = jnp.sum(planes, axis=0)
         dinv = jnp.where(diag > 0., 1. / jnp.where(diag > 0., diag, 1.), 0.)
-        zaz = island_zaz(planes, ts.labels, onehot, ts.sidx, ts.sisland,
-                         num_segments)
+        zaz = island_zaz(planes, ts.labels, lidx, ts.sidx, ts.sisland,
+                         num_segments, ts.ocell, ts.oisland)
         levels.append(LapLevel(
             planes=planes,
             notb=_constrain_rows((~mask).astype(jnp.float32), fs, 0),
             dinv=_constrain_rows(dinv, fs, 0),
-            onehot=onehot, sidx=ts.sidx, sisland=ts.sisland,
+            lidx=lidx, sidx=ts.sidx, sisland=ts.sisland,
+            ocell=ts.ocell, oisland=ts.oisland,
             zaz_inv=(1.0 / zaz).astype(jnp.float32)))
         if i + 1 < len(tiles):
             planes = _galerkin_coarsen(planes)
@@ -522,10 +589,11 @@ def _deflate(level: LapLevel, u: jax.Array, rhs: jax.Array) -> jax.Array:
     sum errors ~1e8x (bf16 pushed final residuals 1e-7 -> 3e-4)."""
     r = (rhs - _apply_lap(level.planes, u)) * level.notb
     num = level.zaz_inv.shape[0]
-    rsum = _tile_segsum(r, level.onehot, level.sidx, level.sisland, num)
+    rsum = _tile_segsum(r, level.lidx, level.sidx, level.sisland,
+                        num, level.ocell, level.oisland)
     c = (rsum * level.zaz_inv).at[0].set(0.)
-    upd = _tile_broadcast(c, level.onehot, level.sidx, level.sisland,
-                          level.shape)
+    upd = _tile_broadcast(c, level.lidx, level.sidx, level.sisland,
+                          level.shape, level.ocell, level.oisland)
     return u + upd * level.notb
 
 
@@ -622,11 +690,11 @@ def _island_correction(u: DS, r_hi: jax.Array, level: LapLevel) -> DS:
     """Subspace correction u += z_I (z_I^T r)/(z_I^T A z_I) per island
     (f32-exact tile matmuls)."""
     num = level.zaz_inv.shape[0]
-    rsum = _tile_segsum(r_hi, level.onehot, level.sidx, level.sisland,
-                        num)
+    rsum = _tile_segsum(r_hi, level.lidx, level.sidx, level.sisland,
+                        num, level.ocell, level.oisland)
     c = (rsum * level.zaz_inv).at[0].set(0.)
-    upd = _tile_broadcast(c, level.onehot, level.sidx, level.sisland,
-                          level.shape)
+    upd = _tile_broadcast(c, level.lidx, level.sidx, level.sisland,
+                          level.shape, level.ocell, level.oisland)
     return ds_add(u, ds_from(upd * level.notb))
 
 
@@ -734,7 +802,8 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles,
     num = num_segments
 
     def island_coeff(r_hi):
-        rsum = _tile_segsum(r_hi, top.onehot, top.sidx, top.sisland, num)
+        rsum = _tile_segsum(r_hi, top.lidx, top.sidx, top.sisland,
+                            num, top.ocell, top.oisland)
         return (rsum * top.zaz_inv).at[0].set(0.)
 
     # Double-single refinement from u0; the FIRST pass plays the classic

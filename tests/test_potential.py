@@ -191,24 +191,33 @@ def _speckle(shape, seed=3, thresh=0.55):
 
 
 def test_tile_level_structure_invariants():
-    """Per-tile dictionaries: slot 0 is background in every tile, lidx
-    maps each cell to the slot holding its label, active slots cover
-    exactly the nonzero dictionary entries."""
+    """Per-tile dictionaries: slot 0 is background in every tile, every
+    cell is covered exactly once (dense slot < 8 holding its label, OR
+    one overflow-COO entry with its island), active slots cover exactly
+    the nonzero dense dictionary entries."""
     from ssrs_tpu.potential.lap import _build_tile_level, _tiled_dims
 
     rng = np.random.default_rng(0)
     for shape in [(37, 61), (64, 64), (100, 45)]:
         labels = rng.integers(0, 11, size=shape).astype(np.int32)
-        lidx, slots, sidx, sisland = _build_tile_level(labels)
+        lidx, slots, sidx, sisland, ocell, oisland = \
+            _build_tile_level(labels)
         T, C = lidx.shape
         L = slots.shape[1]
+        assert L == 8
         mp, npad = _tiled_dims(shape)
         lt = np.zeros((mp, npad), np.int32)
         lt[:shape[0], :shape[1]] = labels
         tr, tc = mp // 32, npad // 32
         lt = lt.reshape(tr, 32, tc, 32).transpose(0, 2, 1, 3).reshape(T, C)
         assert (slots[:, 0] == 0).all()
-        assert (slots[np.arange(T)[:, None], lidx] == lt).all()
+        dense = lidx < L
+        assert (slots[np.arange(T)[:, None], np.where(dense, lidx, 0)]
+                [dense] == lt[dense]).all()
+        over = np.nonzero(~dense.ravel())[0]
+        assert (ocell[:len(over)] == over).all()
+        assert (oisland[:len(over)] == lt.ravel()[over]).all()
+        assert (oisland[len(over):] == 0).all()
         flat = slots.ravel()
         nz = np.nonzero(flat)[0]
         assert (sidx[:len(nz)] == nz).all()
@@ -221,19 +230,22 @@ def test_tile_segsum_matches_segment_sum_oracle():
     _tile_broadcast == c[labels], on speckle fields with many islands."""
     import jax
     import jax.numpy as jnp
-    from ssrs_tpu.potential.lap import (_build_tile_level, _onehot_slots,
+    from ssrs_tpu.potential.lap import (_build_tile_level,
                                         _tile_broadcast, _tile_segsum)
 
     rng = np.random.default_rng(1)
+    # 97 uniform labels stress the overflow path hard: a 32x32 tile sees
+    # ~64 distinct labels, so most cells ride the COO list
     for shape in [(48, 80), (130, 70)]:
         labels = rng.integers(0, 97, size=shape).astype(np.int32)
         x = rng.random(shape).astype(np.float32)
         num = 128
-        lidx, slots, sidx, sisland = _build_tile_level(labels)
-        onehot = _onehot_slots(jnp.asarray(lidx), slots.shape[1])
+        lidx, slots, sidx, sisland, ocell, oisland = \
+            _build_tile_level(labels)
         got = np.asarray(_tile_segsum(
-            jnp.asarray(x), onehot, jnp.asarray(sidx),
-            jnp.asarray(sisland), num))
+            jnp.asarray(x), jnp.asarray(lidx), jnp.asarray(sidx),
+            jnp.asarray(sisland), num, jnp.asarray(ocell),
+            jnp.asarray(oisland)))
         want = np.asarray(jax.ops.segment_sum(
             jnp.asarray(x).ravel(), jnp.asarray(labels).ravel(),
             num_segments=num))
@@ -245,8 +257,9 @@ def test_tile_segsum_matches_segment_sum_oracle():
         c = rng.random(num).astype(np.float32)
         c[0] = 0.0
         back = np.asarray(_tile_broadcast(
-            jnp.asarray(c), onehot, jnp.asarray(sidx),
-            jnp.asarray(sisland), shape))
+            jnp.asarray(c), jnp.asarray(lidx), jnp.asarray(sidx),
+            jnp.asarray(sisland), shape, jnp.asarray(ocell),
+            jnp.asarray(oisland)))
         np.testing.assert_allclose(back, c[labels], rtol=2e-6, atol=1e-6)
 
 
