@@ -106,7 +106,8 @@ def main(n=4096):
     @functools.partial(jax.jit, static_argnames=('reps',))
     def seg(top, r, reps: int):
         def body(c, _):
-            s = L._tile_segsum(r + c[0, 0] * 0, top.lidx, top.sidx,
+            s = L._tile_segsum(r + c[0, 0] * 0, top.lidx,
+                               top.slot_iota, top.sidx,
                                top.sisland, num, top.ocell, top.oisland)
             return c + s[0] * 0, None
         c, _ = jax.lax.scan(body, jnp.zeros_like(r), None, length=reps)
@@ -116,6 +117,7 @@ def main(n=4096):
     def bcast(top, c0, reps: int):
         def body(u, _):
             upd = L._tile_broadcast(c0 + u[0, 0] * 0, top.lidx,
+                                    top.slot_iota,
                                     top.sidx, top.sisland, shape,
                                     top.ocell, top.oisland)
             return u + upd, None

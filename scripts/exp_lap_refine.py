@@ -56,7 +56,8 @@ def staged(cond, bmask, bvals, tiles, num: int, npass: int):
     scale = scaled_norm(-_apply_lap(top.planes, u0) * notb) + 1e-30
 
     def island_coeff(r_hi):
-        rsum = _tile_segsum(r_hi, top.lidx, top.sidx, top.sisland, num,
+        rsum = _tile_segsum(r_hi, top.lidx, top.slot_iota, top.sidx,
+                            top.sisland, num,
                             top.ocell, top.oisland)
         return (rsum * top.zaz_inv).at[0].set(0.)
 

@@ -868,8 +868,13 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
                                  chunk: int = 512,
                                  min_bucket: int = 1024,
                                  valid=None,
-                                 tail_bucket: int = 0):
+                                 tail_bucket=0):
     """Presence simulation with dead-agent compaction.
+
+    ``tail_bucket``: 0 (default) switches to the one-dispatch tail at
+    min_bucket; a positive int switches at that bucket; negative never
+    switches; ``'auto'`` self-tunes the switch from measured dispatch
+    cost (NOT deterministic run-to-run — see the policy note below).
 
     The plain lockstep scan keeps simulating dead agents: with boundary
     absorption the average track dies long before the step cap, so up to
@@ -910,9 +915,9 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     import time as _time
     _dbg = _os.environ.get('SSRS_CHUNK_DEBUG')
     # Tail-switch policy. tail_bucket > 0: switch once the bucket is at
-    # or below it; negative: never (testing). Default 0 = AUTO: switch
-    # as soon as one chunk's device work at the new bucket costs less
-    # than the per-round host overhead, i.e.
+    # or below it; 0 (default): at min_bucket; negative: never
+    # (testing); 'auto': switch as soon as one chunk's device work at
+    # the new bucket costs less than the per-round host overhead, i.e.
     # m * chunk * per_slot < 2 * rtt. The measured scalar round trip
     # `rtt` is a LOWER bound on what each chunked round really pays —
     # dispatch enqueues ride the same tunnel, and skipping the last
@@ -923,9 +928,16 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     # <= 2*rtt, below the observed per-round saving. Both terms are
     # measured live (rtt once per process, per_slot from observed chunk
     # walls); on a locally-attached device with sub-ms dispatch the rule
-    # degenerates to the old min_bucket switch.
-    auto_tail = tail_bucket == 0
-    if auto_tail:
+    # degenerates to the min_bucket switch.
+    #
+    # 'auto' is OPT-IN, not the default: the switch decision depends on
+    # measured wall clocks, so the bucket trajectory — and with it the
+    # RNG partitioning — can differ run-to-run near the decision
+    # boundary, breaking this function's determinism contract. Leave it
+    # off where bit-reproducibility from a seed matters (the Simulator
+    # does); throughput-oriented drivers (bench.py, ensembles) opt in.
+    auto_tail = tail_bucket == 'auto'
+    if auto_tail or tail_bucket == 0:
         tail_bucket = min_bucket
     rtt = _dispatch_overhead() if auto_tail else 0.
     # per_slot persists across calls (min over all observed chunks for
@@ -933,7 +945,7 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     # its chunk walls and would never switch; warm repeat calls then
     # start with an honest estimate.
     ps_key = (params, chunk)
-    per_slot = _PER_SLOT.get(ps_key)
+    per_slot = _PER_SLOT.get(ps_key) if auto_tail else None
     while steps_done < params.nsteps and n_alive > 0:
         _t0 = _time.perf_counter()
         cur = state.pos_r.shape[0]
@@ -952,9 +964,13 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
         steps_done += chunk
         n_alive = int(n_alive_dev)
         wall = _time.perf_counter() - _t0
-        if auto_tail:
-            # device-work estimate: chunk wall minus the round trip
-            est = max(wall - rtt, 1e-9) / (cur * chunk)
+        if auto_tail and wall > rtt:
+            # device-work estimate: chunk wall minus the round trip.
+            # Samples with wall <= rtt are discarded — a chunk whose
+            # wall undershoots a burst-inflated rtt would drive the
+            # persisted min() toward zero and permanently force the
+            # tail switch at any bucket for the whole process.
+            est = (wall - rtt) / (cur * chunk)
             per_slot = est if per_slot is None else min(per_slot, est)
             _PER_SLOT[ps_key] = per_slot
         if _dbg:
@@ -965,6 +981,7 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
             m = _bucket_for(n_alive, min_bucket, quantum)
             if m < cur:
                 state = _compact(params, state, m)
-                if auto_tail and m * chunk * per_slot < 2 * rtt:
+                if (auto_tail and per_slot is not None
+                        and m * chunk * per_slot < 2 * rtt):
                     tail_bucket = m  # switch on the next iteration
     return _final_flush(params, state)

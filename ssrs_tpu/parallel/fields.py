@@ -78,6 +78,7 @@ def _shard_tiles(tiles, mesh: Mesh, shape: Tuple[int, int]):
             (lambda x: jax.device_put(x, rep))
         out.append(TileSeg(
             lidx=put_t(ts.lidx), slots=put_t(ts.slots),
+            slot_iota=jax.device_put(ts.slot_iota, rep),
             sidx=jax.device_put(ts.sidx, rep),
             sisland=jax.device_put(ts.sisland, rep),
             ocell=jax.device_put(ts.ocell, rep),

@@ -262,9 +262,11 @@ class TileSeg(NamedTuple):
     per-level COO list (ocell/oisland) and summed/scattered directly.
     """
     lidx: jax.Array     # (T, C) int16: tile-local slot of each cell
-    #                     (values >= _DENSE_L mean "in the COO list")
-    slots: jax.Array    # (T, 8) int32: global label per dense slot
-    sidx: jax.Array     # (S,) int32: flat t*8+l of active slots (0-pad)
+    #                     (values >= Ld mean "in the COO list")
+    slots: jax.Array    # (T, Ld) int32: global label per dense slot
+    slot_iota: jax.Array  # (Ld,) int16 arange — carries the adaptive
+    #                     dense width statically into the jit
+    sidx: jax.Array     # (S,) int32: flat t*Ld+l of active slots (0-pad)
     sisland: jax.Array  # (S,) int32: island id per active slot (0-pad)
     ocell: jax.Array    # (O,) int32: flat tile-major cell index of
     #                     overflow cells (0-pad; routes to island 0)
@@ -295,7 +297,8 @@ def _from_tiles(xt: jax.Array, shape: Tuple[int, int]) -> jax.Array:
     return x.reshape(mp, npad)[:shape[0], :shape[1]]
 
 
-def _tile_segsum(x: jax.Array, lidx: jax.Array, sidx: jax.Array,
+def _tile_segsum(x: jax.Array, lidx: jax.Array, slot_iota: jax.Array,
+                 sidx: jax.Array,
                  sisland: jax.Array, num: int,
                  ocell: jax.Array, oisland: jax.Array) -> jax.Array:
     """Per-island sums of x: dense-8 masked reduction + S-sized routing,
@@ -315,9 +318,8 @@ def _tile_segsum(x: jax.Array, lidx: jax.Array, sidx: jax.Array,
     HIGHEST-precision einsum it replaces; deflation's 1e-8 zaz division
     forbids bf16 anywhere in this path (measured, see git history)."""
     xt = _to_tiles(x)
-    sel = (lidx[:, None, :] ==
-           jnp.arange(_DENSE_L, dtype=lidx.dtype)[None, :, None])
-    part = jnp.sum(jnp.where(sel, xt[:, None, :], 0.), axis=2)  # (T, 8)
+    sel = lidx[:, None, :] == slot_iota[None, :, None]
+    part = jnp.sum(jnp.where(sel, xt[:, None, :], 0.), axis=2)  # (T, Ld)
     vals = part.reshape(-1)[sidx]
     ovals = xt.reshape(-1)[ocell]
     return jax.ops.segment_sum(jnp.concatenate([vals, ovals]),
@@ -325,7 +327,8 @@ def _tile_segsum(x: jax.Array, lidx: jax.Array, sidx: jax.Array,
                                num_segments=num)
 
 
-def _tile_broadcast(c: jax.Array, lidx: jax.Array, sidx: jax.Array,
+def _tile_broadcast(c: jax.Array, lidx: jax.Array, slot_iota: jax.Array,
+                    sidx: jax.Array,
                     sisland: jax.Array, shape: Tuple[int, int],
                     ocell: jax.Array, oisland: jax.Array) -> jax.Array:
     """Per-cell image of per-island values c (c[0] must be 0): S-sized
@@ -335,11 +338,10 @@ def _tile_broadcast(c: jax.Array, lidx: jax.Array, sidx: jax.Array,
     (padded entries add c[0] == 0 to cell 0 — harmless by the caller
     contract)."""
     T, C = lidx.shape
-    L = _DENSE_L
+    L = slot_iota.shape[0]
     cvals = c[sisland]
     cl = jnp.zeros((T * L,), c.dtype).at[sidx].set(cvals).reshape(T, L)
-    sel = (lidx[:, None, :] ==
-           jnp.arange(L, dtype=lidx.dtype)[None, :, None])
+    sel = lidx[:, None, :] == slot_iota[None, :, None]
     back = jnp.sum(jnp.where(sel, cl[:, :, None], 0.), axis=1)  # (T, C)
     back = back.reshape(-1).at[ocell].add(c[oisland]).reshape(T, C)
     return _from_tiles(back, shape)
@@ -406,12 +408,12 @@ def _build_tile_level(labels: np.ndarray):
             np.arange(T, dtype=np.int64)[:, None] * L).astype(np.int32)
 
     # frequency-reorder slots per tile (slot 0 pinned to background) so
-    # the first _DENSE_L slots cover the most populous islands; cells of
-    # the remaining rare islands are carried exactly by the COO list
-    counts = np.zeros((T, L), np.int64)
-    np.add.at(counts, (np.broadcast_to(np.arange(T)[:, None], lidx.shape),
-                       lidx), 1)
-    key = counts.copy()
+    # the first Ld slots cover the most populous islands; cells of the
+    # remaining rare islands are carried exactly by the COO list
+    counts = np.bincount(
+        (np.arange(T, dtype=np.int64)[:, None] * L + lidx).ravel(),
+        minlength=T * L).reshape(T, L)  # np.add.at is 10-50x slower
+    key = counts.astype(np.int64)
     key[:, 0] = np.iinfo(np.int64).max  # pin background at slot 0
     order = np.argsort(-key, axis=1, kind='stable')   # new pos -> old slot
     inv = np.empty_like(order)
@@ -419,12 +421,21 @@ def _build_tile_level(labels: np.ndarray):
                       np.broadcast_to(np.arange(L)[None, :], (T, L)),
                       axis=1)                          # old slot -> new pos
     lidx = inv[np.arange(T)[:, None], lidx].astype(np.int16)
-    slots = np.take_along_axis(slots, order, axis=1)[:, :_DENSE_L]
+    # adaptive dense width: grow Ld (pow2, >= _DENSE_L) until the COO
+    # list holds <= 1/64 of the cells. Without this, an adversarial
+    # many-labels-per-tile field (e.g. uniform random labels) would push
+    # most cells into the COO and its segment_sum degrades to the
+    # ~7 ns/element serial scatter this whole design exists to avoid;
+    # with it, Ld simply approaches the old dense L_max there.
+    Ld = _DENSE_L
+    while Ld < L and int((lidx >= Ld).sum()) > (T * C) // 64:
+        Ld *= 2
+    slots = np.take_along_axis(slots, order, axis=1)[:, :Ld]
 
     flat = slots.ravel()
     sidx = np.nonzero(flat)[0].astype(np.int32)
     sisland = flat[sidx].astype(np.int32)
-    over = (lidx >= _DENSE_L).ravel()
+    over = (lidx >= Ld).ravel()
     ocell = np.nonzero(over)[0].astype(np.int32)
     oisland = lt.reshape(-1)[ocell].astype(np.int32)
     # quantize S/O in powers of 4: they only size small routing vectors,
@@ -454,7 +465,10 @@ def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
     bm = np.asarray(bmask, bool)
     while True:
         lidx, slots, sidx, sisland, ocell, oisland = _build_tile_level(lab)
-        out.append(TileSeg(lidx=lidx, slots=slots, sidx=sidx,
+        out.append(TileSeg(lidx=lidx, slots=slots,
+                           slot_iota=np.arange(slots.shape[1],
+                                               dtype=np.int16),
+                           sidx=sidx,
                            sisland=sisland, ocell=ocell,
                            oisland=oisland, labels=lab))
         if min(lab.shape) <= min_size:
@@ -473,6 +487,7 @@ class LapLevel(NamedTuple):
     notb: jax.Array     # (nrow, ncol) 1.0 where NOT Dirichlet
     dinv: jax.Array     # (nrow, ncol) 1/sum_d W_d (0 where D == 0)
     lidx: jax.Array     # (T, C) int16 tile-local slot per cell
+    slot_iota: jax.Array  # (Ld,) int16 arange (adaptive dense width)
     sidx: jax.Array     # (S,) active-slot flat indices
     sisland: jax.Array  # (S,) island id per active slot
     ocell: jax.Array    # (O,) overflow-cell flat tile-major indices
@@ -485,6 +500,7 @@ class LapLevel(NamedTuple):
 
 
 def island_zaz(planes: jax.Array, labels: jax.Array, lidx: jax.Array,
+               slot_iota: jax.Array,
                sidx: jax.Array, sisland: jax.Array,
                num_segments: int, ocell: jax.Array,
                oisland: jax.Array) -> jax.Array:
@@ -500,8 +516,8 @@ def island_zaz(planes: jax.Array, labels: jax.Array, lidx: jax.Array,
                            (dr + 1 + nrow, dc + 1 + ncol))
         cross = (lab > 0) & (nb != lab)
         total = total + jnp.where(cross, planes[k], 0.)
-    zaz = _tile_segsum(total, lidx, sidx, sisland, num_segments,
-                       ocell, oisland)
+    zaz = _tile_segsum(total, lidx, slot_iota, sidx, sisland,
+                       num_segments, ocell, oisland)
     zaz = zaz.at[0].set(1.0)  # background: never used
     return jnp.maximum(zaz, 1e-30)
 
@@ -554,13 +570,15 @@ def build_lap_levels(planes: jax.Array, bmask: jax.Array,
                 lidx = _constrain_rows(lidx, fs, 0)
         diag = jnp.sum(planes, axis=0)
         dinv = jnp.where(diag > 0., 1. / jnp.where(diag > 0., diag, 1.), 0.)
-        zaz = island_zaz(planes, ts.labels, lidx, ts.sidx, ts.sisland,
+        zaz = island_zaz(planes, ts.labels, lidx, ts.slot_iota,
+                         ts.sidx, ts.sisland,
                          num_segments, ts.ocell, ts.oisland)
         levels.append(LapLevel(
             planes=planes,
             notb=_constrain_rows((~mask).astype(jnp.float32), fs, 0),
             dinv=_constrain_rows(dinv, fs, 0),
-            lidx=lidx, sidx=ts.sidx, sisland=ts.sisland,
+            lidx=lidx, slot_iota=ts.slot_iota,
+            sidx=ts.sidx, sisland=ts.sisland,
             ocell=ts.ocell, oisland=ts.oisland,
             zaz_inv=(1.0 / zaz).astype(jnp.float32)))
         if i + 1 < len(tiles):
@@ -589,10 +607,12 @@ def _deflate(level: LapLevel, u: jax.Array, rhs: jax.Array) -> jax.Array:
     sum errors ~1e8x (bf16 pushed final residuals 1e-7 -> 3e-4)."""
     r = (rhs - _apply_lap(level.planes, u)) * level.notb
     num = level.zaz_inv.shape[0]
-    rsum = _tile_segsum(r, level.lidx, level.sidx, level.sisland,
+    rsum = _tile_segsum(r, level.lidx, level.slot_iota, level.sidx,
+                        level.sisland,
                         num, level.ocell, level.oisland)
     c = (rsum * level.zaz_inv).at[0].set(0.)
-    upd = _tile_broadcast(c, level.lidx, level.sidx, level.sisland,
+    upd = _tile_broadcast(c, level.lidx, level.slot_iota, level.sidx,
+                          level.sisland,
                           level.shape, level.ocell, level.oisland)
     return u + upd * level.notb
 
@@ -690,10 +710,12 @@ def _island_correction(u: DS, r_hi: jax.Array, level: LapLevel) -> DS:
     """Subspace correction u += z_I (z_I^T r)/(z_I^T A z_I) per island
     (f32-exact tile matmuls)."""
     num = level.zaz_inv.shape[0]
-    rsum = _tile_segsum(r_hi, level.lidx, level.sidx, level.sisland,
+    rsum = _tile_segsum(r_hi, level.lidx, level.slot_iota, level.sidx,
+                        level.sisland,
                         num, level.ocell, level.oisland)
     c = (rsum * level.zaz_inv).at[0].set(0.)
-    upd = _tile_broadcast(c, level.lidx, level.sidx, level.sisland,
+    upd = _tile_broadcast(c, level.lidx, level.slot_iota, level.sidx,
+                          level.sisland,
                           level.shape, level.ocell, level.oisland)
     return ds_add(u, ds_from(upd * level.notb))
 
@@ -802,7 +824,8 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles,
     num = num_segments
 
     def island_coeff(r_hi):
-        rsum = _tile_segsum(r_hi, top.lidx, top.sidx, top.sisland,
+        rsum = _tile_segsum(r_hi, top.lidx, top.slot_iota, top.sidx,
+                            top.sisland,
                             num, top.ocell, top.oisland)
         return (rsum * top.zaz_inv).at[0].set(0.)
 

@@ -204,7 +204,10 @@ def test_tile_level_structure_invariants():
             _build_tile_level(labels)
         T, C = lidx.shape
         L = slots.shape[1]
-        assert L == 8
+        # adaptive dense width: pow2 >= 8, grown until the COO list is
+        # <= 1/64 of cells
+        assert L >= 8 and (L & (L - 1)) == 0
+        assert (lidx >= L).sum() <= lidx.size // 64
         mp, npad = _tiled_dims(shape)
         lt = np.zeros((mp, npad), np.int32)
         lt[:shape[0], :shape[1]] = labels
@@ -242,8 +245,9 @@ def test_tile_segsum_matches_segment_sum_oracle():
         num = 128
         lidx, slots, sidx, sisland, ocell, oisland = \
             _build_tile_level(labels)
+        iota = jnp.arange(slots.shape[1], dtype=jnp.int16)
         got = np.asarray(_tile_segsum(
-            jnp.asarray(x), jnp.asarray(lidx), jnp.asarray(sidx),
+            jnp.asarray(x), jnp.asarray(lidx), iota, jnp.asarray(sidx),
             jnp.asarray(sisland), num, jnp.asarray(ocell),
             jnp.asarray(oisland)))
         want = np.asarray(jax.ops.segment_sum(
@@ -257,7 +261,7 @@ def test_tile_segsum_matches_segment_sum_oracle():
         c = rng.random(num).astype(np.float32)
         c[0] = 0.0
         back = np.asarray(_tile_broadcast(
-            jnp.asarray(c), jnp.asarray(lidx), jnp.asarray(sidx),
+            jnp.asarray(c), jnp.asarray(lidx), iota, jnp.asarray(sidx),
             jnp.asarray(sisland), shape, jnp.asarray(ocell),
             jnp.asarray(oisland)))
         np.testing.assert_allclose(back, c[labels], rtol=2e-6, atol=1e-6)
