@@ -48,7 +48,7 @@ def main():
     def run(key):
         return simulate_presence_compacting(
             params, starts, key, updraft=conductivity, potential=pot,
-            chunk=512)
+            chunk=512, tail_bucket='auto')  # throughput mode
 
     presence, steps = run(jax.random.key(0))  # compile + first run
     np.asarray(presence)

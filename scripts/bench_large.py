@@ -69,7 +69,7 @@ def main():
     t0 = time.perf_counter()
     presence, steps = simulate_presence_compacting(
         params, starts, jax.random.key(0), updraft=conductivity,
-        potential=pot, chunk=128)
+        potential=pot, chunk=128, tail_bucket='auto')
     presence.block_until_ready()
     dt_sim = time.perf_counter() - t0
     total = int(np.asarray(presence).astype(np.int64).sum())

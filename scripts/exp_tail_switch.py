@@ -72,14 +72,14 @@ def main():
         useful = total - 6 * n_tracks
         return useful / dt, dt / 6
 
-    # -1 = never (old chunked-to-min_bucket... actually fully chunked),
-    # 1024 = old default (switch at min_bucket), 0 = auto rule
+    # 1024 = deterministic default (switch at min_bucket),
+    # 'auto' = opt-in measured rule
     from ssrs_tpu.agents.simulate import _dispatch_overhead
     print(f'measured rtt: {_dispatch_overhead() * 1e3:.1f} ms',
           flush=True)
-    for tb in (1024, 0, 16384, 0, 1024, 16384):
+    for tb in (1024, 'auto', 16384, 'auto', 1024, 16384):
         rate, per_run = clock(tb)
-        label = 'auto' if tb == 0 else str(tb)
+        label = str(tb)
         print(f'tail_bucket={label:>6s}: {rate / 1e6:7.1f}M steps/s '
               f'({per_run * 1e3:.0f} ms/run)', flush=True)
 
