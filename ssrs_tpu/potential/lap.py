@@ -46,8 +46,9 @@ fused masked reduction over dense per-tile slots (round 3: 8
 frequency-ordered slots + an exact COO list for the rare overflow
 cells — the round-2 (T, C, L_max) f32 one-hots this replaced were
 4.3 GB at the 4096² fine level and made the full solve fall off a
-memory/bandwidth cliff there: warm 28.6 s -> 4.6 s, same f64-oracle
-error; scripts/exp_deflate2.py, exp_tiles.py) plus a small second
+memory/bandwidth cliff there: interleaved A/B 1.5-1.9x faster and far
+lower variance, same f64-oracle error; scripts/exp_deflate2.py,
+exp_tiles.py) plus a small second
 stage over active slots only, and transfer operators are
 ``reduce_window`` / selector-matrix matmuls.
 
