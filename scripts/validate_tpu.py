@@ -138,6 +138,21 @@ def main():
     failures += (not ok)
     print(f'fused(auto) vs xla, same keys: marginal L1 {l1:.4f} '
           f'{"PASS" if ok else "FAIL"}', flush=True)
+
+    # drw movement model (directional prior only, no fields): the mean
+    # displacement per step must track the configured direction
+    pdrw, _ = simulate_presence_compacting(
+        params._replace(move_dirn=0., nu=1.), starts, jax.random.key(9),
+        chunk=64, min_bucket=256)
+    pdrw = np.asarray(pdrw).astype(np.float64)
+    rows = pdrw.sum(axis=1)
+    # dirn 0 deg = northward drift = mass spreading toward row nrow-1
+    # from the row-3..5 starts
+    com = (rows * np.arange(GRID[0])).sum() / rows.sum()
+    ok = com > 8.
+    failures += (not ok)
+    print(f'drw northward drift: presence row center {com:.1f} '
+          f'(starts at 3-5) {"PASS" if ok else "FAIL"}', flush=True)
     sys.exit(1 if failures else 0)
 
 
