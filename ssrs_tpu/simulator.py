@@ -350,6 +350,20 @@ class Simulator(PlottingMixin, Config):
             else 60
         pot, resid = solve_potential_refined(
             conductivity, bmask, bvals, maxcycles=maxiter)
+        # SuperLU-parity safety net: the device solver reports its
+        # D^-1-scaled relative residual honestly; normal exits are
+        # <= ~1e-4 (6.5e-4 at 67M unknowns). Rare plateau-rich field
+        # classes can stall it at O(0.1) (found by fuzzing,
+        # tests/test_potential.py::test_refined_solver_fuzz_vs_oracle);
+        # the rate-free f64 direct solve handles any field, so fall
+        # back rather than hand a bad potential to the track model.
+        if float(resid) > 5e-3:
+            print(f'device potential solve stalled (rrel '
+                  f'{float(resid):.2e}); falling back to the f64 '
+                  'direct solver..', flush=True)
+            from .potential.direct import solve_potential_direct
+            return solve_potential_direct(conductivity,
+                                          self.track_direction)
         return np.asarray(pot)
 
     def _get_id_string(self, case_id: str, real_id: Optional[int] = None):

@@ -157,3 +157,20 @@ def test_prepare_starts_bit_identical(rng):
         potential=potential, chunk=64, min_bucket=256, valid=valid_dev)
     assert int(s_np) == int(s_dev)
     np.testing.assert_array_equal(np.asarray(p_np), np.asarray(p_dev))
+
+
+def test_driver_edge_cases(rng):
+    """Single agent, nsteps < chunk, nsteps == 0-ish tiny caps: the
+    compacting driver's host step counter and tail logic must not
+    over- or under-run."""
+    updraft, potential = _fields()
+    for n, nsteps, chunk in ((1, 5, 64), (3, 70, 64), (257, 1, 64)):
+        starts = _starts(n, rng)
+        params = _params(nsteps=nsteps)
+        p, s = simulate_presence_compacting(
+            params, starts, jax.random.key(2), updraft=updraft,
+            potential=potential, chunk=chunk, min_bucket=64)
+        p = np.asarray(p)
+        assert p.sum() >= n               # starts always counted
+        assert p.sum() <= n * (nsteps + 1)
+        assert int(s) >= min(nsteps, 1)

