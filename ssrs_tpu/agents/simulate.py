@@ -872,9 +872,11 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     """Presence simulation with dead-agent compaction.
 
     ``tail_bucket``: 0 (default) switches to the one-dispatch tail at
-    min_bucket; a positive int switches at that bucket; negative never
-    switches; ``'auto'`` self-tunes the switch from measured dispatch
-    cost (NOT deterministic run-to-run — see the policy note below).
+    min_bucket; a positive int switches at that bucket (floored at
+    min_bucket — below it no compaction is possible, so an earlier
+    switch cannot exist); negative never switches; ``'auto'``
+    self-tunes the switch from measured dispatch cost (NOT
+    deterministic run-to-run — see the policy note below).
 
     The plain lockstep scan keeps simulating dead agents: with boundary
     absorption the average track dies long before the step cap, so up to
