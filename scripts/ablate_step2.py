@@ -1,6 +1,12 @@
-"""Round-2 ablation: per-step cost of the PRODUCTION step function
-(make_step_fn) by presence_impl, at fixed population (no compaction), on
-real TPU. Complements the round-1 hand-rolled ablation in ablate_step.py.
+"""Round-2 ablation (modernized in round 3): per-step cost of the
+PRODUCTION step function (make_step_fn) by presence_impl, at fixed
+population (no compaction), on real TPU. Complements the round-1
+hand-rolled ablation in ablate_step.py.
+
+Round-3 changes: the pruned 'chunk-hist' variant is gone (its measured
+history lives in docs/DESIGN.md); a fused-engine row was added; the
+clock materializes an output that depends on every step instead of
+block_until_ready (which does not reliably sync on axon — CLAUDE.md).
 """
 
 import os
@@ -19,12 +25,12 @@ from ssrs_tpu.simulator import _enable_compile_cache
 _enable_compile_cache()
 
 from ssrs_tpu.agents.moves import directional_probs, restriction_table
-from ssrs_tpu.agents.simulate import (SimState, TrackParams, init_state,
-                                      make_step_fn, prepared_weights,
-                                      _run_chunk_hist)
+from ssrs_tpu.agents.simulate import (TrackParams, flush_pending,
+                                      init_state, make_step_fn,
+                                      prepared_weights)
 
 NROW, NCOL = 500, 600
-N = 100_000
+N = 100_000  # multiple of FUSED_BLK for the fused row
 STEPS = 256
 
 
@@ -37,6 +43,26 @@ def fields():
     return updraft, potential
 
 
+def time_variant(name, params, base_flat, dirp, table, starts):
+    step_fn = make_step_fn(params, base_flat, dirp, table)
+    state = init_state(params, starts, jax.random.key(0))
+
+    @jax.jit
+    def run(state):
+        state = jax.lax.scan(lambda s, _: (step_fn(s), None), state,
+                             None, length=STEPS)[0]
+        return flush_pending(params, state)
+
+    out = run(state)
+    np.asarray(out.pos_r)  # compile + run (honest sync: depends on all steps)
+    t0 = time.perf_counter()
+    out = run(out)
+    np.asarray(out.pos_r)
+    dt = time.perf_counter() - t0
+    print(f'{name:24s} {dt / STEPS * 1e6:9.1f} us/step '
+          f'{N * STEPS / dt / 1e6:8.1f} M agent-steps/s', flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     updraft, potential = fields()
@@ -47,48 +73,18 @@ def main():
 
     print(f'device: {jax.devices()[0]}  N={N}  grid={NROW}x{NCOL}',
           flush=True)
+    base = dict(grid_shape=(NROW, NCOL), move_dirn=0., nu=1.,
+                memory_k=1, burnin=50, nsteps=10_000_000)
     for impl in ('none', 'matmul', 'scatter'):
-        params = TrackParams(grid_shape=(NROW, NCOL), move_dirn=0., nu=1.,
-                             memory_k=1, burnin=50, nsteps=10_000_000,
-                             presence_impl=impl)
+        params = TrackParams(presence_impl=impl, step_impl='xla', **base)
         base_flat = prepared_weights(updraft, potential, dirp,
                                      params.weight_dtype)
-        step_fn = make_step_fn(params, base_flat, dirp, table)
-        state = init_state(params, starts, jax.random.key(0))
-
-        @jax.jit
-        def run(state):
-            return jax.lax.scan(lambda s, _: (step_fn(s), None), state,
-                                None, length=STEPS)[0]
-
-        out = run(state)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
-        t0 = time.perf_counter()
-        out = run(out)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
-        dt = time.perf_counter() - t0
-        print(f'impl={impl:10s} {dt / STEPS * 1e6:9.1f} us/step '
-              f'{N * STEPS / dt / 1e6:8.1f} M agent-steps/s', flush=True)
-
-    # the chunk-hist runner at the same population (one batched pallas
-    # histogram per STEPS-scan)
-    params = TrackParams(grid_shape=(NROW, NCOL), move_dirn=0., nu=1.,
-                         memory_k=1, burnin=50, nsteps=10_000_000,
-                         presence_impl='chunk-hist')
-    base_flat = prepared_weights(updraft, potential, dirp,
-                                 params.weight_dtype)
-    st = init_state(params, starts, jax.random.key(0))
-    args = (params, base_flat, dirp, table, st.pos, st.mem, st.alive,
-            st.key, st.presence, st.step, STEPS)
-    out = _run_chunk_hist(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    t0 = time.perf_counter()
-    out = _run_chunk_hist(params, base_flat, dirp, table, out[0], out[1],
-                          out[2], out[3], out[4], out[5], STEPS)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    dt = time.perf_counter() - t0
-    print(f'impl=chunk-hist {dt / STEPS * 1e6:7.1f} us/step '
-          f'{N * STEPS / dt / 1e6:8.1f} M agent-steps/s', flush=True)
+        time_variant(f'xla/{impl}', params, base_flat, dirp, table, starts)
+    if jax.devices()[0].platform != 'cpu':
+        params = TrackParams(step_impl='fused', **base)
+        base_flat = prepared_weights(updraft, potential, dirp,
+                                     params.weight_dtype)
+        time_variant('fused/lanes', params, base_flat, dirp, table, starts)
 
 
 if __name__ == '__main__':

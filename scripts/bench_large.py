@@ -70,9 +70,12 @@ def main():
     presence, steps = simulate_presence_compacting(
         params, starts, jax.random.key(0), updraft=conductivity,
         potential=pot, chunk=128, tail_bucket='auto')
-    presence.block_until_ready()
+    # materialize INSIDE the timed window: block_until_ready does not
+    # reliably synchronize on axon (CLAUDE.md), and the 'auto' tail
+    # leaves its final dispatch in flight
+    presence_np = np.asarray(presence)
     dt_sim = time.perf_counter() - t0
-    total = int(np.asarray(presence).astype(np.int64).sum())
+    total = int(presence_np.astype(np.int64).sum())
 
     print(json.dumps({
         'metric': 'large_scale_smoke',

@@ -77,10 +77,13 @@ def run_variant(name, impl, chunk):
 
 
 def main():
+    # Historical note: this experiment's subject — the 'chunk-hist'
+    # presence impl — was measured as a loser and PRUNED in round 3
+    # (results preserved in docs/DESIGN.md). Only the production
+    # baseline remains runnable here; the batch histogram kernel itself
+    # lives on in agents/pallas_hist.py.
     print(f'device: {jax.devices()[0]}', flush=True)
     run_variant('auto (in-scan matmul)', 'auto', 1024)
-    for chunk in (256, 512, 1024, 2048):
-        run_variant('chunk-hist (batched pallas)', 'chunk-hist', chunk)
     run_variant('auto (in-scan matmul)', 'auto', 1024)
 
 

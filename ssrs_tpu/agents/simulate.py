@@ -229,9 +229,14 @@ def flush_pending(params: TrackParams, state: SimState) -> SimState:
     """Add the pending delayed-presence contribution (the carried
     positions weighted by ``palive``) and zero ``palive`` so subsequent
     steps cannot double-count. Call at the end of a run and before any
-    compaction/reordering of the agent axis."""
+    compaction/reordering of the agent axis.
+
+    With ``presence_impl='none'`` the step accumulates nothing, so the
+    flush only clears ``palive`` (presence stays zero / caller-owned)."""
     nrow_p, ncol_p = params.padded_grid
     impl = params.presence_impl
+    if impl == 'none':
+        return state._replace(palive=jnp.zeros_like(state.palive))
     use_matmul = (impl in ('auto', 'matmul') and
                   sum(params.grid_shape) <= 4096)
     upd = _hist_padded(state.pos_r, state.pos_c, state.palive,
@@ -254,6 +259,12 @@ def make_step_fn(params: TrackParams, base_flat: Optional[jax.Array],
     Presence is accumulated with the one-step delay described in the
     module docstring — callers must :func:`flush_pending` at the end.
     """
+    if params.presence_impl not in ('auto', 'matmul', 'scatter', 'none'):
+        raise ValueError(
+            f"presence_impl={params.presence_impl!r}: expected one of "
+            "'auto', 'matmul', 'scatter', 'none' (the 'pallas'/"
+            "'chunk-hist' variants were pruned in round 3 — "
+            "docs/DESIGN.md records why)")
     impl = resolve_step_impl(params, base_flat is not None)
     if impl in ('fused', 'fused-interpret'):
         return _make_fused_step(params, base_flat, dirp, table,
@@ -299,7 +310,9 @@ def _make_fused_step(params: TrackParams, base_flat: jax.Array,
             u.astype(jnp.float32),
             nu=params.nu, memory_k=params.memory_k,
             grid_shape=(nrow, ncol), blk=FUSED_BLK, oh_bits=8,
-            hist_mode='lanes', hist_src='cur', interpret=interpret)
+            hist_mode=('none' if params.presence_impl == 'none'
+                       else 'lanes'),
+            hist_src='cur', interpret=interpret)
         return SimState(pos_r=new_r, pos_c=new_c, mem=new_mem,
                         alive=alive, palive=alive.astype(jnp.int32),
                         key=key, presence=state.presence + hist,
@@ -459,6 +472,10 @@ def _pad_starts(params: TrackParams, start_rc, valid,
     tunnel per run (see prepare_starts for the hoisted multi-case
     pattern)."""
     impl = resolve_step_impl(params, base_flat_given)
+    if not isinstance(start_rc, jax.Array):
+        # lists / tuples of (row, col) pairs are accepted like the
+        # pre-fused drivers accepted them (init_state did the asarray)
+        start_rc = np.asarray(start_rc, np.int32)
     needs_pad = (impl in ('fused', 'fused-interpret')
                  and start_rc.shape[0] % FUSED_BLK != 0)
     if isinstance(start_rc, jax.Array) and not needs_pad:
@@ -534,8 +551,8 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
     else:
         base_flat = None
     n = jnp.asarray(start_rc).shape[0]
-    if (resolve_step_impl(params, base_flat is not None) == 'fused'
-            and n % FUSED_BLK != 0):
+    if (resolve_step_impl(params, base_flat is not None)
+            in ('fused', 'fused-interpret') and n % FUSED_BLK != 0):
         params = params._replace(step_impl='xla')
     step_fn = make_step_fn(params, base_flat, dirp, table)
     state = init_state(params, start_rc, key, valid=valid)

@@ -34,7 +34,7 @@ item 4).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +60,7 @@ def _shard_rows(x, mesh: Mesh):
     return jax.device_put(jnp.asarray(x), row_sharding(mesh))
 
 
-def _shard_tiles(tiles, mesh: Mesh, shape: Tuple[int, int]):
+def _shard_tiles(tiles, mesh: Mesh):
     """Shard each level's tile dictionary by tile ROW so the one-hot
     segsum matmuls stay device-local. Tiles are row-major over the tile
     grid (lap._build_tile_level), so sharding axis 0 of the (T, ...)
@@ -107,8 +107,7 @@ def solve_potential_refined_sharded(conductivity, bmask, bvals,
     num = 256
     while num < k + 1:
         num *= 4
-    tiles = _shard_tiles(build_tile_hierarchy(labels_np, bmask_np), mesh,
-                         bmask_np.shape)
+    tiles = _shard_tiles(build_tile_hierarchy(labels_np, bmask_np), mesh)
     return _solve_refined_jit(
         _shard_rows(np.asarray(conductivity, np.float32), mesh),
         _shard_rows(bmask_np, mesh),

@@ -174,3 +174,17 @@ def test_driver_edge_cases(rng):
         assert p.sum() >= n               # starts always counted
         assert p.sum() <= n * (nsteps + 1)
         assert int(s) >= min(nsteps, 1)
+
+
+def test_presence_impl_none_stays_zero_xla(rng):
+    """'no presence in the step (caller accumulates)' must hold through
+    the XLA-engine compacting driver too (flush_pending honors 'none')."""
+    updraft, potential = _fields()
+    starts = _starts(64, rng)
+    params = _params(nsteps=100)._replace(presence_impl='none',
+                                          step_impl='xla')
+    p, s = simulate_presence_compacting(
+        params, starts, jax.random.key(1), updraft=updraft,
+        potential=potential, chunk=16, min_bucket=32)
+    assert int(s) > 0
+    assert int(np.asarray(p).sum()) == 0

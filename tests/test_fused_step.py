@@ -163,3 +163,59 @@ def test_fused_nu_statistical(rng):
     a /= a.sum()
     b /= b.sum()
     assert np.abs(a - b).sum() < 0.08
+
+def test_fused_presence_impl_none_stays_zero(rng):
+    """presence_impl='none' must accumulate nothing through the fused
+    engine's compacting driver (regression: flush_pending ignored 'none'
+    and histogrammed compaction-boundary snapshots)."""
+    up, pot = _fields(rng)
+    starts = _starts(N, rng)
+    params = _params(nsteps=80)._replace(presence_impl='none')
+    p, s = simulate_presence_compacting(
+        params, starts, jax.random.key(5), updraft=up, potential=pot,
+        chunk=16, min_bucket=1024)
+    assert int(s) > 0
+    assert int(np.asarray(p).sum()) == 0
+
+
+def test_fused_accepts_list_starts(rng):
+    """List-of-pairs starts through the fused driver (regression:
+    _pad_starts dereferenced .shape before converting to an array)."""
+    up, pot = _fields(rng)
+    starts_np = _starts(700, rng)  # odd size: forces the padding branch
+    params = _params(nsteps=40)
+    p_list, _ = simulate_presence_compacting(
+        params, starts_np.tolist(), jax.random.key(9), updraft=up,
+        potential=pot, chunk=16, min_bucket=1024)
+    p_np, _ = simulate_presence_compacting(
+        params, starts_np, jax.random.key(9), updraft=up,
+        potential=pot, chunk=16, min_bucket=1024)
+    np.testing.assert_array_equal(np.asarray(p_list), np.asarray(p_np))
+
+
+def test_fused_interpret_odd_size_falls_back_to_xla(rng):
+    """simulate_presence with step_impl='fused-interpret' and an agent
+    count that is not a multiple of FUSED_BLK must fall back to the XLA
+    engine instead of tripping the kernel's block-divisibility assert."""
+    up, pot = _fields(rng)
+    starts = _starts(600, rng)
+    p_f, s_f = simulate_presence(_params(nsteps=40), starts,
+                                 jax.random.key(4), updraft=up,
+                                 potential=pot, chunk=16)
+    p_x, s_x = simulate_presence(_params(nsteps=40, step_impl='xla'),
+                                 starts, jax.random.key(4), updraft=up,
+                                 potential=pot, chunk=16)
+    assert int(s_f) == int(s_x)
+    np.testing.assert_array_equal(np.asarray(p_f), np.asarray(p_x))
+
+
+def test_unknown_presence_impl_raises(rng):
+    """Pruned/typo presence_impl values must raise, not silently run the
+    scatter path under the wrong label."""
+    up, pot = _fields(rng)
+    starts = _starts(N, rng)
+    params = _params(nsteps=10)._replace(presence_impl='chunk-hist')
+    with pytest.raises(ValueError, match='chunk-hist'):
+        simulate_presence_compacting(
+            params, starts, jax.random.key(0), updraft=up, potential=pot,
+            chunk=8, min_bucket=1024)

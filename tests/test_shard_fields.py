@@ -84,7 +84,7 @@ def test_sharded_solve_hlo_collectives_bounded():
     labels, k = island_labels(cond, bmask)
     num = 256
     mesh = make_field_mesh()
-    tiles = _shard_tiles(build_tile_hierarchy(labels, bmask), mesh, SHAPE)
+    tiles = _shard_tiles(build_tile_hierarchy(labels, bmask), mesh)
     args = (_shard_rows(cond, mesh), _shard_rows(bmask, mesh),
             _shard_rows(bvals, mesh))
     fn = jax.jit(partial(_solve_refined_jit.__wrapped__, num_segments=num,
