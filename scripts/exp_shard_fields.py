@@ -59,7 +59,9 @@ def main(shape=(512, 512)):
             jnp.asarray(bvals, jnp.float32))
 
     # single-device reference
-    ref, rrel_ref = L._solve_refined_jit(*args, tiles, num, 1e-7, 60, 30)
+    sound = jnp.asarray(L.island_sound_mask(labels_np, num))
+    ref, rrel_ref = L._solve_refined_jit(*args, tiles, sound, num,
+                                         1e-7, 60, 30)
     ref = np.asarray(ref)
     print('single-device rrel:', float(rrel_ref))
 
@@ -72,7 +74,7 @@ def main(shape=(512, 512)):
                          num_segments=num, tol=1e-7, maxcycles=60,
                          refine=30, field_sharding=row_sharding),
                  static_argnames=())
-    lowered = fn.lower(*args_s, tiles)
+    lowered = fn.lower(*args_s, tiles, shard(sound))
     compiled = lowered.compile()
     hlo = compiled.as_text()
     colls = {}

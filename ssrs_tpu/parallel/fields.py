@@ -99,7 +99,7 @@ def solve_potential_refined_sharded(conductivity, bmask, bvals,
     Returns (potential (nrow, ncol) f32 row-sharded, relative residual).
     """
     from ..potential.lap import (_solve_refined_jit, build_tile_hierarchy,
-                                 island_labels)
+                                 island_labels, island_sound_mask)
     if mesh is None:
         mesh = make_field_mesh()
     bmask_np = np.asarray(bmask, bool)
@@ -108,11 +108,13 @@ def solve_potential_refined_sharded(conductivity, bmask, bvals,
     while num < k + 1:
         num *= 4
     tiles = _shard_tiles(build_tile_hierarchy(labels_np, bmask_np), mesh)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     return _solve_refined_jit(
         _shard_rows(np.asarray(conductivity, np.float32), mesh),
         _shard_rows(bmask_np, mesh),
         _shard_rows(np.asarray(bvals, np.float32), mesh),
-        tiles, num, tol, maxcycles, refine,
+        tiles, jax.device_put(island_sound_mask(labels_np, num), rep),
+        num, tol, maxcycles, refine,
         field_sharding=row_sharding(mesh))
 
 

@@ -100,6 +100,36 @@ def weight_planes(conductivity: jax.Array) -> jax.Array:
     return jnp.stack(planes)
 
 
+def symmetrize_planes(planes: jax.Array) -> jax.Array:
+    """Pairwise-symmetrized edge weights ``W_sym = 0.5 (W_ij + W_ji)``.
+
+    The reference's east-column fac quirk (``solver.py`` docstring,
+    ssrs/movmodel.py:66-79) makes W genuinely NONSYMMETRIC on the edges
+    between the two easternmost columns (|W_ij − W_ji| up to ~0.29 W on
+    strong edges); everywhere else W is symmetric and ``W_sym == W``.
+    For a FLOATING island touching that strip, the indicator z is a
+    right near-null vector of A but not a left one, so the deflation
+    coefficient ``z^T r / z^T A z`` is an *oblique* projection whose
+    genuine value explodes (measured on the round-3 fuzz stall field:
+    c ~ 2e6 out of a 0..1000 potential) and poisons every Krylov
+    direction the V-cycle produces — GCR then correctly rejects them
+    (alpha ~ 3e-5) and the solve stalls. The production solver
+    therefore builds the whole preconditioner hierarchy (smoother,
+    Galerkin coarsening, per-level deflation) on the symmetrized
+    operator — where deflation is a sound orthogonal projection at
+    every level — and lets the double-single refinement loop, whose
+    residuals use the TRUE operator, iterate the localized skew part
+    away (``rho(S^-1 (S-A))`` ~ 0.3 on the strip, 0 elsewhere; see
+    docs/DESIGN.md round-3 "The east-strip deflation stall")."""
+    out = []
+    for k, (dr, dc) in enumerate(_DELTAS):
+        kopp = _DELTA_TO_K[(-dr, -dc)]
+        w_opp_n = _shift(planes[kopp], dr, dc)
+        out.append(jnp.where(planes[k] > 0.,
+                             0.5 * (planes[k] + w_opp_n), 0.))
+    return jnp.stack(out)
+
+
 def _apply_lap(planes: jax.Array, u: jax.Array) -> jax.Array:
     """A u = sum_d W_d * (u - shift_d(u)). One pad, eight static slices.
     Bandwidth-bound on TPU (~0.9 ms at 16.8M cells)."""
@@ -485,6 +515,17 @@ def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
 
 class LapLevel(NamedTuple):
     planes: jax.Array   # (8, nrow, ncol) difference-form edge weights
+    # crossing-edge-only planes for the deflation numerator. For a
+    # symmetric operator the island sum of A u gets ZERO from
+    # island-internal edges (the pair W(u_i-u_j) + W(u_j-u_i) cancels
+    # exactly), so sums through these planes equal sums through `planes`
+    # in exact arithmetic — but in f32 the internal strong-edge products
+    # (O(1) each) leave cancellation noise ~1e-7 absolute in the sum,
+    # which the 1/zaz ~ 1e8 division turns into O(10)-potential-unit
+    # garbage corrections every cycle (measured: the island sums of A u
+    # through `planes` come back as pure noise — 0.0 or off by 15% —
+    # while through `planes_defl` they match the f64 truth to 7 digits).
+    planes_defl: jax.Array  # (8, nrow, ncol)
     notb: jax.Array     # (nrow, ncol) 1.0 where NOT Dirichlet
     dinv: jax.Array     # (nrow, ncol) 1/sum_d W_d (0 where D == 0)
     lidx: jax.Array     # (T, C) int16 tile-local slot per cell
@@ -521,6 +562,22 @@ def island_zaz(planes: jax.Array, labels: jax.Array, lidx: jax.Array,
                        num_segments, ocell, oisland)
     zaz = zaz.at[0].set(1.0)  # background: never used
     return jnp.maximum(zaz, 1e-30)
+
+
+def crossing_planes(planes: jax.Array, labels: jax.Array) -> jax.Array:
+    """Planes with island-INTERNAL edges zeroed (see
+    ``LapLevel.planes_defl``). Edges from/to background (label 0) and
+    between different labels are kept."""
+    lab = jnp.asarray(labels, jnp.int32)
+    nrow, ncol = lab.shape
+    labpad = jnp.pad(lab, 1, constant_values=-1)
+    out = []
+    for k, (dr, dc) in enumerate(_DELTAS):
+        nb = jax.lax.slice(labpad, (dr + 1, dc + 1),
+                           (dr + 1 + nrow, dc + 1 + ncol))
+        internal = (lab > 0) & (nb == lab)
+        out.append(jnp.where(internal, 0., planes[k]))
+    return jnp.stack(out)
 
 
 def _constrain_rows(x: jax.Array, fs, axis: int) -> jax.Array:
@@ -576,6 +633,8 @@ def build_lap_levels(planes: jax.Array, bmask: jax.Array,
                          num_segments, ts.ocell, ts.oisland)
         levels.append(LapLevel(
             planes=planes,
+            planes_defl=_constrain_rows(
+                crossing_planes(planes, ts.labels), fs, 1),
             notb=_constrain_rows((~mask).astype(jnp.float32), fs, 0),
             dinv=_constrain_rows(dinv, fs, 0),
             lidx=lidx, slot_iota=ts.slot_iota,
@@ -605,8 +664,13 @@ def _deflate(level: LapLevel, u: jax.Array, rhs: jax.Array) -> jax.Array:
     move island levels too (measured: fine-level-only deflation leaves a
     ~0.99/cycle stall on 100+-island fields). The tile matmuls run f32 at
     HIGHEST precision: the correction divides by zaz ~ 1e-8, amplifying
-    sum errors ~1e8x (bf16 pushed final residuals 1e-7 -> 3e-4)."""
-    r = (rhs - _apply_lap(level.planes, u)) * level.notb
+    sum errors ~1e8x (bf16 pushed final residuals 1e-7 -> 3e-4).
+
+    The residual for the island sums goes through the crossing-edge-only
+    ``planes_defl`` — identical island sums in exact arithmetic, but free
+    of the f32 internal-strong-edge cancellation noise that the 1/zaz
+    division amplifies into O(10)-potential-unit poison (see LapLevel)."""
+    r = (rhs - _apply_lap(level.planes_defl, u)) * level.notb
     num = level.zaz_inv.shape[0]
     rsum = _tile_segsum(r, level.lidx, level.slot_iota, level.sidx,
                         level.sisland,
@@ -707,20 +771,6 @@ def island_labels(conductivity: np.ndarray, bmask: np.ndarray,
     return labels, k
 
 
-def _island_correction(u: DS, r_hi: jax.Array, level: LapLevel) -> DS:
-    """Subspace correction u += z_I (z_I^T r)/(z_I^T A z_I) per island
-    (f32-exact tile matmuls)."""
-    num = level.zaz_inv.shape[0]
-    rsum = _tile_segsum(r_hi, level.lidx, level.slot_iota, level.sidx,
-                        level.sisland,
-                        num, level.ocell, level.oisland)
-    c = (rsum * level.zaz_inv).at[0].set(0.)
-    upd = _tile_broadcast(c, level.lidx, level.slot_iota, level.sidx,
-                          level.sisland,
-                          level.shape, level.ocell, level.oisland)
-    return ds_add(u, ds_from(upd * level.notb))
-
-
 # ---- driver -----------------------------------------------------------------
 
 
@@ -794,20 +844,44 @@ def _gcr_solve(levels: List[LapLevel], rhs: jax.Array, maxiter,
     return x, rn
 
 
+def island_sound_mask(labels_np: np.ndarray, num: int) -> np.ndarray:
+    """Per-island indicator (f32, length ``num``) of islands whose
+    edges are ALL genuinely symmetric — i.e. islands that never occupy
+    the two easternmost columns, where the reference's east-column fac
+    quirk makes W nonsymmetric (see symmetrize_planes). Only for these
+    is the outer island correction's coefficient
+    ``z^T r / z^T A z`` a sound orthogonal projection; for strip
+    islands it is an oblique projection that genuinely explodes
+    (measured c ~ 2e6) and stalls the refinement, so they are left to
+    the symmetrized per-level deflation + GCR. Index 0 (anchored
+    background) is 0."""
+    sound = np.zeros(num, np.float32)
+    k = int(labels_np.max())
+    if k:
+        strip = np.unique(labels_np[:, -2:])
+        sound[1:k + 1] = 1.0
+        sound[strip[strip > 0]] = 0.0
+    return sound
+
+
 @functools.partial(jax.jit,
                    static_argnames=('maxcycles', 'refine', 'tol',
                                     'num_segments', 'field_sharding'))
-def _solve_refined_jit(conductivity, bmask, bvals, tiles,
+def _solve_refined_jit(conductivity, bmask, bvals, tiles, sound,
                        num_segments: int,
                        tol: float, maxcycles: int, refine: int,
                        field_sharding=None):
     bmask = jnp.asarray(bmask, bool)
     bvals = jnp.asarray(bvals, jnp.float32)
     planes = weight_planes(conductivity)
-    levels = build_lap_levels(planes, bmask, tiles, num_segments,
-                              field_sharding=field_sharding)
+    # preconditioner hierarchy on the SYMMETRIZED operator (sound
+    # deflation; see symmetrize_planes); refinement residuals below use
+    # the TRUE planes, so the solution solves the reference's system
+    levels = build_lap_levels(symmetrize_planes(planes), bmask, tiles,
+                              num_segments, field_sharding=field_sharding)
     top = levels[0]
     notb = top.notb
+    planes = _constrain_rows(planes, field_sharding, 1)
     u0 = jnp.where(bmask, bvals, 500.)
 
     # All norms are of the diagonally-SCALED residual D^-1 r: in plateau
@@ -818,46 +892,69 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles,
     def scaled_norm(r_hi):
         return jnp.linalg.norm(r_hi * top.dinv)
 
-    scale = scaled_norm(-_apply_lap(top.planes, u0) * notb) + 1e-30
+    scale = scaled_norm(-_apply_lap(planes, u0) * notb) + 1e-30
     target = tol * scale
     # island level-error estimate |z^T r| / (z^T A z), potential units
     lev_target = jnp.float32(1e-4)
     num = num_segments
 
     def island_coeff(r_hi):
+        """Sound-island level-error estimates z^T r / z^T A z. Masked
+        to SOUND islands (island_sound_mask): for east-strip islands
+        the quotient is oblique (wrong magnitude by orders), so they
+        are neither corrected nor used as a convergence criterion —
+        their levels converge through the residual norm like any other
+        mode, down to the f32 floor (docs/DESIGN.md round-3
+        "east-strip deflation stall": Altamont max err 8.9/1000 at one
+        strip island, the measured floor)."""
         rsum = _tile_segsum(r_hi, top.lidx, top.slot_iota, top.sidx,
                             top.sisland,
                             num, top.ocell, top.oisland)
-        return (rsum * top.zaz_inv).at[0].set(0.)
+        return (rsum * top.zaz_inv * sound).at[0].set(0.)
+
+    def island_correction(uds, r_hi):
+        """Outer subspace correction u += z_I c_I over SOUND islands
+        (DS-accurate residual sums, f32-exact tile matmuls). This is
+        load-bearing off the strip: without it the sound-island levels
+        and the global smooth mode they carry stall the refinement at
+        rrel ~5e-4 with O(100) errors (measured on the 460^2 hard
+        speckle field when it was dropped entirely)."""
+        c = island_coeff(r_hi)
+        upd = _tile_broadcast(c, top.lidx, top.slot_iota, top.sidx,
+                              top.sisland,
+                              top.shape, top.ocell, top.oisland)
+        return ds_add(uds, ds_from(upd * notb))
 
     # Double-single refinement from u0; the FIRST pass plays the classic
     # "stage 1" role (its DS residual of the f32 start IS the plain f32
     # residual), so there is only ONE _gcr_solve/vcycle trace in the
     # graph — a separate f32 stage doubled the traced solver body and
     # with it the XLA compile time at large shapes (first compiles
-    # through the axon tunnel ran 8-15 min at 4096^2+). The island
-    # deflation runs LAST in each pass so the exit state has exact island
-    # levels up to DS residual accuracy.
+    # through the axon tunnel ran 8-15 min at 4096^2+). Sound-island
+    # levels are corrected LAST in each pass (island_correction), so the
+    # exit state has exact levels there up to DS residual accuracy;
+    # strip-island levels ride the residual norm to the f32 floor.
     uds = DS(u0, jnp.zeros_like(u0))
 
     def ds_resid(uds):
-        r = apply_lap_ds(top.planes, uds)
+        r = apply_lap_ds(planes, uds)
         return -(r.hi + r.lo) * notb
 
     def ref_cond(carry):
-        uds, it, rnorm, lev, rn_prev = carry
+        uds, it, rnorm, lev, rn_best, stall = carry
         unconverged = (rnorm > target) | (lev > lev_target)
-        # Pass-over-pass stall guard: on large hard fields the hierarchy's
-        # asymptotic rate (~0.95/iter on the refinement residual) means
-        # extra passes buy ~5%/pass — once a pass shrinks the scaled
-        # residual by < 10%, exit with the honest residual instead of
-        # spinning to the pass cap (measured: 30 stalled passes cost ~5 s
-        # at 2048^2 for one spare digit).
-        improving = (rnorm < 0.9 * rn_prev) | (it < 2)
-        return (it < refine) & unconverged & improving
+        # Pass-over-pass stall guard: exit once no pass in the last 3
+        # has set a new best (<=0.9x) scaled residual. The guard tracks
+        # the BEST rather than the previous pass because the outer
+        # true-operator refinement around the symmetrized preconditioner
+        # converges non-monotonically on east-strip-island fields
+        # (measured: rrel bounces 0.02 -> 0.09 between passes on the way
+        # to 1e-7); a previous-pass guard killed those solves mid-flight,
+        # while genuinely floored solves still exit within 3 passes.
+        return (it < refine) & unconverged & (stall < 3)
 
     def ref_body(carry):
-        uds, it, rn_old, _, _ = carry
+        uds, it, rn_old, _, rn_best, stall = carry
         r_hi = ds_resid(uds)
         # Long inner budget, few passes: GCR momentum builds over ~6
         # iterations before the asymptotic ~0.86/iter rate kicks in on
@@ -871,15 +968,29 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles,
                               field_sharding=field_sharding)
         uds = ds_add(uds, ds_from(delta * notb))
         r_hi = ds_resid(uds)
-        uds = _island_correction(uds, r_hi, top)
+        # Outer island correction over SOUND islands only (see
+        # island_correction/island_sound_mask). Correcting east-strip
+        # islands here used the oblique coefficient
+        # z^T r_true / z^T A_sym z, which overshoots by orders of
+        # magnitude and made the refinement bounce without converging
+        # (measured round 3: masking them took the (41,90)@0.5 fuzz
+        # stall field from rrel 0.24 stalled to converged, and the
+        # Altamont verify-flow field from rrel 5e-3 to ~5e-8), while
+        # dropping the correction for ALL islands stalled the 460^2
+        # hard speckle field at rrel 5e-4 with O(100) errors.
+        uds = island_correction(uds, r_hi)
         r_hi = ds_resid(uds)
         lev = jnp.max(jnp.abs(island_coeff(r_hi)))
-        return uds, it + 1, scaled_norm(r_hi), lev, rn_old
+        rn = scaled_norm(r_hi)
+        improved = rn < 0.9 * rn_best
+        stall = jnp.where(improved, 0, stall + 1)
+        rn_best = jnp.minimum(rn_best, rn)
+        return uds, it + 1, rn, lev, rn_best, stall
 
-    uds, nref, rn2, _, _ = jax.lax.while_loop(
+    uds, nref, rn2, _, _, _ = jax.lax.while_loop(
         ref_cond, ref_body,
         (uds, jnp.asarray(0, jnp.int32), scale, jnp.float32(jnp.inf),
-         jnp.float32(jnp.inf)))
+         scale, jnp.asarray(0, jnp.int32)))
 
     out = uds.hi + uds.lo
     out = jnp.where(bmask, bvals, out)
@@ -906,5 +1017,6 @@ def solve_potential_refined(conductivity, bmask, bvals, tol: float = 1e-7,
     tiles = build_tile_hierarchy(labels_np, bmask_np)
     return _solve_refined_jit(
         jnp.asarray(conductivity, jnp.float32), jnp.asarray(bmask_np),
-        jnp.asarray(bvals, jnp.float32), tiles, num,
+        jnp.asarray(bvals, jnp.float32), tiles,
+        jnp.asarray(island_sound_mask(labels_np, num)), num,
         tol, maxcycles, refine)

@@ -352,11 +352,14 @@ class Simulator(PlottingMixin, Config):
             conductivity, bmask, bvals, maxcycles=maxiter)
         # SuperLU-parity safety net: the device solver reports its
         # D^-1-scaled relative residual honestly; normal exits are
-        # <= ~1e-4 (6.5e-4 at 67M unknowns). Rare plateau-rich field
-        # classes can stall it at O(0.1) (found by fuzzing,
-        # tests/test_potential.py::test_refined_solver_fuzz_vs_oracle);
-        # the rate-free f64 direct solve handles any field, so fall
-        # back rather than hand a bad potential to the track model.
+        # <= ~1e-4 (6.5e-4 at 67M unknowns). No known field class
+        # stalls it anymore (the round-3 fuzz stall was root-caused to
+        # the oblique outer island correction and removed —
+        # tests/test_potential.py::test_refined_solver_fuzz_vs_oracle
+        # pins zero flagged classes), but the rate-free f64 direct
+        # solve handles any field, so keep the net: fall back rather
+        # than ever hand a bad potential to the track model
+        # (mechanism test: test_simulator.py::test_potential_fallback).
         if float(resid) > 5e-3:
             print(f'device potential solve stalled (rrel '
                   f'{float(resid):.2e}); falling back to the f64 '

@@ -343,10 +343,13 @@ def test_refined_solver_fuzz_vs_oracle():
     device solver must either match the oracle or REPORT a residual
     above the production fallback threshold (5e-3, see
     Simulator._solve_potential) — it must never silently return a bad
-    potential. The fuzz found one plateau-rich class ((41, 90) at
-    thresh 0.5) where the refinement stalls at rrel ~0.1 — correctly
-    flagged, and the Simulator path falls back to the f64 direct solve
-    (test_fallback below)."""
+    potential. Round-3 history: this fuzz found a plateau-rich class
+    ((41, 90) at thresh 0.5) where the refinement stalled at rrel ~0.1;
+    the root cause was the outer island correction's oblique
+    coefficient against the nonsymmetric east-strip operator (see
+    lap.symmetrize_planes / lap.island_sound_mask), and with strip
+    islands masked out of it every class in this set converges, so the
+    flag count is pinned at ZERO."""
     rng = np.random.default_rng(99)
     shapes = [(33, 47), (64, 64), (41, 90)]
     threshes = [0.05, 0.5, 0.95]
@@ -362,13 +365,15 @@ def test_refined_solver_fuzz_vs_oracle():
             assert float(rrel) > 5e-3, \
                 ('silent bad solve', shape, thr, err, float(rrel))
             n_flagged += 1
-    assert n_flagged <= 1  # the one known stall class
+    assert n_flagged == 0
 
 
-def test_refined_solver_stall_is_flagged_for_fallback():
-    """The known stall field: the device solver reports rrel above the
-    Simulator's 5e-3 fallback threshold, and the f64 direct solver (the
-    fallback target) nails it."""
+def test_former_fuzz_stall_class_converges():
+    """The (41, 90)@0.5 field that stalled the round-3 refinement at
+    rrel ~0.1 (east-strip oblique island correction, since masked to
+    sound islands) now converges to the f64 oracle — pinned so the
+    class cannot silently regress back to leaning on the Simulator's
+    direct-solve fallback."""
     rng = np.random.default_rng(99)
     w = None
     for s in [(33, 47), (64, 64), (41, 90)]:
@@ -380,6 +385,7 @@ def test_refined_solver_stall_is_flagged_for_fallback():
     shape = (41, 90)
     bmask, bvals = boundary_masks(0., shape)
     got, rrel = solve_potential_refined(w, bmask, bvals)
-    assert float(rrel) > 5e-3  # flagged -> production path falls back
-    want = solve_potential_direct(w, 0.)
-    assert np.isfinite(want).all()
+    assert float(rrel) < 1e-5
+    want = solve_potential_direct(w, 0.).astype(np.float64)
+    err = np.abs(np.asarray(got, np.float64) - want).max()
+    assert err < 0.1

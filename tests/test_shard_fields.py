@@ -78,19 +78,21 @@ def test_sharded_solve_hlo_collectives_bounded():
     collective-permutes and small all-reduces/gathers only (coarse
     levels may replicate — they are O(N/64) cells)."""
     from functools import partial
-    from ssrs_tpu.potential.lap import _solve_refined_jit
+    from ssrs_tpu.potential.lap import _solve_refined_jit, island_sound_mask
     from ssrs_tpu.parallel.fields import _shard_rows, _shard_tiles
     cond, bmask, bvals = _setup()
     labels, k = island_labels(cond, bmask)
     num = 256
     mesh = make_field_mesh()
     tiles = _shard_tiles(build_tile_hierarchy(labels, bmask), mesh)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     args = (_shard_rows(cond, mesh), _shard_rows(bmask, mesh),
             _shard_rows(bvals, mesh))
+    sound = jax.device_put(island_sound_mask(labels, num), rep)
     fn = jax.jit(partial(_solve_refined_jit.__wrapped__, num_segments=num,
                          tol=1e-7, maxcycles=60, refine=30,
                          field_sharding=row_sharding(mesh)))
-    hlo = fn.lower(*args, tiles).compile().as_text()
+    hlo = fn.lower(*args, tiles, sound).compile().as_text()
     assert len(re.findall(r'collective-permute\b', hlo)) > 0
     ncells = SHAPE[0] * SHAPE[1]
     for m in re.finditer(r'\w+\[([0-9,]+)\][^=]*? all-gather', hlo):

@@ -146,3 +146,26 @@ def test_config_json_roundtrip(sim):
     assert cfg.run_name == 'wy_test'
     assert cfg.resolution == 200.
     assert tuple(cfg.region_width_km) == (12., 10.)
+
+
+def test_potential_fallback(sim, monkeypatch, capsys):
+    """SuperLU-parity safety net: when the device solver reports a
+    residual above 5e-3, _solve_potential must discard its answer and
+    return the f64 direct solve (simulator.py _solve_potential). No
+    known field class trips this anymore (the round-3 fuzz stall was
+    root-caused and fixed in potential/lap.py), so force it with a
+    stub that returns garbage + a stalled residual."""
+    import ssrs_tpu.potential as pot_mod
+    from ssrs_tpu.potential.direct import solve_potential_direct
+
+    rng = np.random.default_rng(0)
+    cond = rng.random(sim.gridsize).astype(np.float32)
+    cond[cond < 0.5] = 0.0
+    garbage = np.full(sim.gridsize, 1e6, np.float32)
+    monkeypatch.setattr(pot_mod, 'solve_potential_refined',
+                        lambda *a, **k: (garbage, 0.5))
+    got = sim._solve_potential(cond)
+    out = capsys.readouterr().out
+    assert 'falling back to the f64 direct solver' in out
+    want = solve_potential_direct(cond, sim.track_direction)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
