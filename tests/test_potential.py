@@ -389,3 +389,53 @@ def test_former_fuzz_stall_class_converges():
     want = solve_potential_direct(w, 0.).astype(np.float64)
     err = np.abs(np.asarray(got, np.float64) - want).max()
     assert err < 0.1
+
+
+def test_operator_skew_confined_to_east_strip():
+    """The sound-island mask (lap.island_sound_mask) assumes the
+    reference operator's nonsymmetry (the east-column fac quirk,
+    ssrs/movmodel.py:66-79) touches ONLY cells in the two easternmost
+    columns. Pin that: any directed edge with W_ij != W_ji must have
+    both endpoints there, so 'island never occupies those columns'
+    implies 'all island edges are symmetric' and the outer island
+    correction is a sound projection for it."""
+    import jax.numpy as jnp
+    from ssrs_tpu.potential import lap
+
+    rng = np.random.default_rng(3)
+    w = rng.random((20, 25)).astype(np.float32)
+    w[w < 0.4] = 0.
+    planes = np.asarray(lap.weight_planes(jnp.asarray(w)))
+    ncol = w.shape[1]
+    cols = set()
+    for k, (dr, dc) in enumerate(lap._DELTAS):
+        kopp = lap._DELTA_TO_K[(-dr, -dc)]
+        w_opp = np.asarray(lap._shift(jnp.asarray(planes[kopp]), dr, dc))
+        for r, c in zip(*np.nonzero(np.abs(planes[k] - w_opp) > 1e-9)):
+            cols.update((c, c + dc))
+    assert cols, 'expected the east-strip skew to exist'
+    assert cols <= {ncol - 2, ncol - 1}, f'skew outside east strip: {cols}'
+    # and symmetrize_planes removes it everywhere
+    sym = np.asarray(lap.symmetrize_planes(jnp.asarray(planes)))
+    for k, (dr, dc) in enumerate(lap._DELTAS):
+        kopp = lap._DELTA_TO_K[(-dr, -dc)]
+        s_opp = np.asarray(lap._shift(jnp.asarray(sym[kopp]), dr, dc))
+        mask = sym[k] > 0
+        np.testing.assert_allclose(sym[k][mask], s_opp[mask], atol=1e-9)
+
+
+def test_island_sound_mask():
+    """island_sound_mask: 0 for background and any island occupying the
+    two easternmost columns, 1 elsewhere; sized to the num bucket."""
+    from ssrs_tpu.potential.lap import island_sound_mask
+    labels = np.zeros((6, 8), np.int32)
+    labels[1, 1] = 1          # interior island -> sound
+    labels[3, 5] = 2          # column ncol-3 -> still sound
+    labels[4, 6] = 3          # column ncol-2 -> strip
+    labels[2, 7] = 4          # column ncol-1 -> strip
+    labels[5, 2:7] = 5        # spans into ncol-2 -> strip
+    sound = island_sound_mask(labels, 16)
+    assert sound.shape == (16,) and sound.dtype == np.float32
+    np.testing.assert_array_equal(
+        sound[:7], np.array([0, 1, 1, 0, 0, 0, 0], np.float32))
+    assert not sound[7:].any()
