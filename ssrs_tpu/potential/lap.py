@@ -161,6 +161,18 @@ def apply_lap_ds(planes: jax.Array, u: DS) -> DS:
     return acc
 
 
+# A "strip-skew" factored true operator (A_true = A_sym + a tiny
+# (8, nrow, 2) east-strip delta, freeing the full true planes after the
+# prologue, −2 GB at 8192²) was implemented and measured as a NEGATIVE
+# result: composed under the solver jit, XLA's fusion choices broke the
+# double-single error-free transforms (residual error 7e-5 vs the 4e-11
+# of the plain path — fusion-context-dependent: a minimal jit of the
+# same composition was accurate, and optimization_barrier did not fix
+# the full graph), which poisoned the island sums and mis-leveled
+# sound islands by O(10). Residuals therefore keep the materialized
+# full true planes; see docs/DESIGN.md round-3 "east-strip" section.
+
+
 def _pad_even(x: jax.Array, fill=0.) -> jax.Array:
     nrow, ncol = x.shape[-2:]
     pr, pc = nrow % 2, ncol % 2
@@ -515,17 +527,24 @@ def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
 
 class LapLevel(NamedTuple):
     planes: jax.Array   # (8, nrow, ncol) difference-form edge weights
-    # crossing-edge-only planes for the deflation numerator. For a
-    # symmetric operator the island sum of A u gets ZERO from
-    # island-internal edges (the pair W(u_i-u_j) + W(u_j-u_i) cancels
-    # exactly), so sums through these planes equal sums through `planes`
-    # in exact arithmetic — but in f32 the internal strong-edge products
-    # (O(1) each) leave cancellation noise ~1e-7 absolute in the sum,
-    # which the 1/zaz ~ 1e8 division turns into O(10)-potential-unit
-    # garbage corrections every cycle (measured: the island sums of A u
-    # through `planes` come back as pure noise — 0.0 or off by 15% —
-    # while through `planes_defl` they match the f64 truth to 7 digits).
-    planes_defl: jax.Array  # (8, nrow, ncol)
+    # labels: the deflation numerator sums the residual through
+    # CROSSING edges only (island-internal edges zeroed on the fly; see
+    # _apply_lap_crossing). For a symmetric operator the island sum of
+    # A u gets ZERO from island-internal edges (the pair W(u_i-u_j) +
+    # W(u_j-u_i) cancels exactly), so crossing-only sums equal full
+    # sums in exact arithmetic — but in f32 the internal strong-edge
+    # products (O(1) each) leave cancellation noise ~1e-7 absolute in
+    # the sum, which the 1/zaz ~ 1e8 division turns into
+    # O(10)-potential-unit garbage corrections every cycle (measured:
+    # island sums of A u through the full planes come back as pure
+    # noise — 0.0 or off by 15% — while crossing-only sums match the
+    # f64 truth to 7 digits). The mask is computed per _deflate from
+    # these labels rather than stored as a second plane stack: a
+    # materialized (8, nrow, ncol) planes_defl hierarchy cost ~2.7 GB
+    # at 8192² and pushed the solve over the one-chip HBM edge
+    # (measured OOM by 211 MB), while the labels are already resident
+    # for the zaz build and the masked apply fuses.
+    labels: jax.Array   # (nrow, ncol) int32 island labels
     notb: jax.Array     # (nrow, ncol) 1.0 where NOT Dirichlet
     dinv: jax.Array     # (nrow, ncol) 1/sum_d W_d (0 where D == 0)
     lidx: jax.Array     # (T, C) int16 tile-local slot per cell
@@ -564,20 +583,25 @@ def island_zaz(planes: jax.Array, labels: jax.Array, lidx: jax.Array,
     return jnp.maximum(zaz, 1e-30)
 
 
-def crossing_planes(planes: jax.Array, labels: jax.Array) -> jax.Array:
-    """Planes with island-INTERNAL edges zeroed (see
-    ``LapLevel.planes_defl``). Edges from/to background (label 0) and
-    between different labels are kept."""
+def _apply_lap_crossing(planes: jax.Array, labels: jax.Array,
+                        u: jax.Array) -> jax.Array:
+    """A u through CROSSING edges only: island-internal edge terms
+    (label > 0 on both endpoints, same label) are zeroed in the fused
+    apply loop (see ``LapLevel.labels``). Edges from/to background
+    (label 0) and between different labels are kept."""
     lab = jnp.asarray(labels, jnp.int32)
-    nrow, ncol = lab.shape
+    nrow, ncol = u.shape
     labpad = jnp.pad(lab, 1, constant_values=-1)
-    out = []
+    upad = jnp.pad(u, 1)
+    acc = jnp.zeros_like(u)
     for k, (dr, dc) in enumerate(_DELTAS):
-        nb = jax.lax.slice(labpad, (dr + 1, dc + 1),
+        nb_lab = jax.lax.slice(labpad, (dr + 1, dc + 1),
+                               (dr + 1 + nrow, dc + 1 + ncol))
+        nb = jax.lax.slice(upad, (dr + 1, dc + 1),
                            (dr + 1 + nrow, dc + 1 + ncol))
-        internal = (lab > 0) & (nb == lab)
-        out.append(jnp.where(internal, 0., planes[k]))
-    return jnp.stack(out)
+        internal = (lab > 0) & (nb_lab == lab)
+        acc = acc + jnp.where(internal, 0., planes[k]) * (u - nb)
+    return acc
 
 
 def _constrain_rows(x: jax.Array, fs, axis: int) -> jax.Array:
@@ -633,8 +657,8 @@ def build_lap_levels(planes: jax.Array, bmask: jax.Array,
                          num_segments, ts.ocell, ts.oisland)
         levels.append(LapLevel(
             planes=planes,
-            planes_defl=_constrain_rows(
-                crossing_planes(planes, ts.labels), fs, 1),
+            labels=_constrain_rows(jnp.asarray(ts.labels, jnp.int32),
+                                   fs, 0),
             notb=_constrain_rows((~mask).astype(jnp.float32), fs, 0),
             dinv=_constrain_rows(dinv, fs, 0),
             lidx=lidx, slot_iota=ts.slot_iota,
@@ -666,11 +690,13 @@ def _deflate(level: LapLevel, u: jax.Array, rhs: jax.Array) -> jax.Array:
     HIGHEST precision: the correction divides by zaz ~ 1e-8, amplifying
     sum errors ~1e8x (bf16 pushed final residuals 1e-7 -> 3e-4).
 
-    The residual for the island sums goes through the crossing-edge-only
-    ``planes_defl`` — identical island sums in exact arithmetic, but free
-    of the f32 internal-strong-edge cancellation noise that the 1/zaz
-    division amplifies into O(10)-potential-unit poison (see LapLevel)."""
-    r = (rhs - _apply_lap(level.planes_defl, u)) * level.notb
+    The residual for the island sums goes through CROSSING edges only
+    (``_apply_lap_crossing``) — identical island sums in exact
+    arithmetic, but free of the f32 internal-strong-edge cancellation
+    noise that the 1/zaz division amplifies into O(10)-potential-unit
+    poison (see LapLevel.labels)."""
+    r = (rhs - _apply_lap_crossing(level.planes, level.labels, u)) \
+        * level.notb
     num = level.zaz_inv.shape[0]
     rsum = _tile_segsum(r, level.lidx, level.slot_iota, level.sidx,
                         level.sisland,
@@ -873,15 +899,19 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles, sound,
                        field_sharding=None):
     bmask = jnp.asarray(bmask, bool)
     bvals = jnp.asarray(bvals, jnp.float32)
-    planes = weight_planes(conductivity)
+    planes_t = weight_planes(conductivity)
+    planes_s = symmetrize_planes(planes_t)
     # preconditioner hierarchy on the SYMMETRIZED operator (sound
     # deflation; see symmetrize_planes); refinement residuals below use
-    # the TRUE planes, so the solution solves the reference's system
-    levels = build_lap_levels(symmetrize_planes(planes), bmask, tiles,
+    # the TRUE planes, so the solution solves the reference's system.
+    # Both plane stacks stay materialized: the factored low-memory
+    # alternative broke the DS error-free transforms under fusion (see
+    # the strip-skew negative-result note above _pad_even).
+    planes_t = _constrain_rows(planes_t, field_sharding, 1)
+    levels = build_lap_levels(planes_s, bmask, tiles,
                               num_segments, field_sharding=field_sharding)
     top = levels[0]
     notb = top.notb
-    planes = _constrain_rows(planes, field_sharding, 1)
     u0 = jnp.where(bmask, bvals, 500.)
 
     # All norms are of the diagonally-SCALED residual D^-1 r: in plateau
@@ -892,7 +922,7 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles, sound,
     def scaled_norm(r_hi):
         return jnp.linalg.norm(r_hi * top.dinv)
 
-    scale = scaled_norm(-_apply_lap(planes, u0) * notb) + 1e-30
+    scale = scaled_norm(-_apply_lap(planes_t, u0) * notb) + 1e-30
     target = tol * scale
     # island level-error estimate |z^T r| / (z^T A z), potential units
     lev_target = jnp.float32(1e-4)
@@ -937,7 +967,7 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles, sound,
     uds = DS(u0, jnp.zeros_like(u0))
 
     def ds_resid(uds):
-        r = apply_lap_ds(planes, uds)
+        r = apply_lap_ds(planes_t, uds)
         return -(r.hi + r.lo) * notb
 
     def ref_cond(carry):

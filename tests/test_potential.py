@@ -439,3 +439,27 @@ def test_island_sound_mask():
     np.testing.assert_array_equal(
         sound[:7], np.array([0, 1, 1, 0, 0, 0, 0], np.float32))
     assert not sound[7:].any()
+
+
+def test_refined_solver_strip_islands_adversarial_is_flagged():
+    """Adversarial field: large floating blobs PRESSED INTO the east
+    strip (the nonsymmetric columns), surrounded by a 6-column zero
+    band — far harsher than any thresholded-updraft field. The
+    refinement stalls here under every measured variant (masked /
+    unmasked / true-zaz outer correction, DESIGN.md round-3 "east-strip
+    deflation stall"), so the pinned contract is the honest one: the
+    reported residual must exceed the Simulator's 5e-3 fallback
+    threshold — never a silent bad answer — and the f64 direct
+    fallback target must nail it."""
+    shape = (120, 160)
+    cond = _conductivity_hard(shape, seed=7)
+    cond[:, -6:] = 0.0                      # isolate the east edge
+    cond[20:40, -3:] = 2.0                  # strip island A
+    cond[70:90, -2:] = 1.5                  # strip island B
+    bmask, bvals = boundary_masks(0., shape)
+    want = solve_potential_direct(cond, 0.).astype(np.float64)
+    got, rrel = solve_potential_refined(cond, bmask, bvals)
+    err = np.abs(np.asarray(got, np.float64) - want).max()
+    assert err < 1.0 or float(rrel) > 5e-3, \
+        f'silent bad solve: err {err}, rrel {float(rrel)}'
+    assert np.isfinite(want).all()
