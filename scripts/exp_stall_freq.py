@@ -1,0 +1,43 @@
+"""Honest stall frequency of the refined device solver on dense random
+speckle (64^2 @ thresh 0.5, 50 seeds x 4 directions = 200 solves) vs
+the f64 oracle. Round-3 measurement (CPU f32):
+
+    200 solves: 40 flagged stalls (20.0%), 2 silent bad
+
+- The 20% flagged class is multi-cell floating islands ON the east
+  strip (the nonsymmetric columns): the refinement's defect correction
+  around the symmetrized preconditioner cannot converge their levels
+  (DESIGN.md "east-strip deflation stall", limits) -- honestly flagged
+  (rrel > 5e-3) and handled by the Simulator's f64 direct fallback.
+  Dense random speckle maximizes floating-island count; no realistic
+  thresholded-updraft field is known to trip it (Altamont converges).
+- The 2 "silent bad" are seed 14 at dirn 0/180: err 6.2 out of 1000 at
+  rrel 2.1e-3, just under the 5e-3 flag -- the documented f32
+  island-level floor (invisible in the residual), not a solver defect;
+  raising the flag threshold would false-positive normal large-grid
+  exits (8192^2 exits at rrel 6.3e-4).
+"""
+import sys, time
+sys.path.insert(0, '/root/repo')
+import numpy as np, jax
+jax.config.update('jax_platforms', 'cpu')
+from ssrs_tpu.potential import solve_potential_refined, solve_potential_direct, boundary_masks
+
+n_stall = n_silent = n = 0
+for seed in range(50):
+    rng = np.random.default_rng(seed)
+    w = rng.random((64, 64)).astype(np.float32)
+    w[w < 0.5] = 0.
+    for dirn in (0., 90., 180., 270.):
+        bmask, bvals = boundary_masks(dirn, w.shape)
+        want = solve_potential_direct(w, dirn).astype(np.float64)
+        got, rrel = solve_potential_refined(w, bmask, bvals)
+        err = np.abs(np.asarray(got, np.float64) - want).max()
+        n += 1
+        if err >= 1.0:
+            if float(rrel) > 5e-3: n_stall += 1
+            else:
+                n_silent += 1
+                print('SILENT BAD:', seed, dirn, err, float(rrel), flush=True)
+print(f'{n} solves: {n_stall} flagged stalls ({100*n_stall/n:.1f}%), '
+      f'{n_silent} silent bad', flush=True)
