@@ -98,9 +98,11 @@ def main():
                                                 nrow * res / 1000.),
         res, rng=np.random.default_rng(42))
     starts = np.stack([rows, cols], axis=1).astype(np.int32)
+    # bf16 weight table: the bench is a throughput surface, so it opts
+    # into the ~0.4%-quantized table (the Simulator default is float32)
     params = TrackParams(grid_shape=(nrow, ncol), move_dirn=0., nu=1.,
                          memory_k=1, burnin=int(min(nrow, ncol) / 10),
-                         nsteps=step_cap)
+                         nsteps=step_cap, weight_dtype='bfloat16')
 
     # pad + upload the shared start batch once (the production
     # multi-case pattern; per-run re-upload is ~800 KB of tunnel)

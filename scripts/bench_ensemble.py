@@ -43,7 +43,7 @@ def main():
     starts = np.stack([rows, cols], axis=1).astype(np.int32)
     params = TrackParams(grid_shape=(nrow, ncol), move_dirn=0., nu=1.,
                          memory_k=1, burnin=int(min(nrow, ncol) / 10),
-                         nsteps=10_000)
+                         nsteps=10_000, weight_dtype='bfloat16')
 
     def run(key):
         return simulate_presence_compacting(

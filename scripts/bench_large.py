@@ -65,7 +65,7 @@ def main():
     starts = np.stack([rows, cols], axis=1).astype(np.int32)
     params = TrackParams(grid_shape=(nrow, ncol), move_dirn=0., nu=1.,
                          memory_k=1, burnin=int(min(nrow, ncol) / 10),
-                         nsteps=step_cap)
+                         nsteps=step_cap, weight_dtype='bfloat16')
     t0 = time.perf_counter()
     presence, steps = simulate_presence_compacting(
         params, starts, jax.random.key(0), updraft=conductivity,

@@ -1,10 +1,16 @@
 """Seasonal-ensemble benchmark (BASELINE.json config 4 analog, offline):
 many wind-field cases x 1000 tracks on an Appalachian-scale grid
-(1200x1400 @50 m), all cases advancing together via the batched engine.
+(1200x1400 @50 m), A/B-ing the two multi-case engines:
 
-Measured (v5e, 24 cases): all 24 simulations complete in ~4.9 s
-(32.5M agent-steps with the reference-exact potential — tracks reach
-the boundary sooner than under the legacy row-normalized solve).
+- 'vmapped': the jitted lockstep engine (simulate_presence_cases) —
+  XLA step, no compaction, all cases run until the last one dies;
+- 'compacting': the round-3→4 production path
+  (simulate_presence_cases_compacting) — fused Pallas step on TPU,
+  per-case dead-agent compaction + one-dispatch tail, host scalar
+  reads overlapped across cases.
+
+Round-3 measured (v5e, 24 cases, vmapped): all 24 simulations in
+~4.9 s (32.5M agent-steps with the reference-exact potential).
 Potential fields go through the production refined solver; warm
 per-case prep is ~1.8 s (updraft 0.3 + labels 0.1 + tile hierarchy 0.4
 + device solve 1.0), with one-time XLA compiles per (shape,
@@ -27,16 +33,22 @@ def main():
     from bench import synthetic_dem
     from ssrs_tpu.agents import (TrackParams, directional_probs,
                                  get_starting_indices, prepared_weights,
-                                 simulate_presence_cases)
+                                 simulate_presence_cases,
+                                 simulate_presence_cases_compacting)
     from ssrs_tpu.fields import (get_above_threshold_speed,
                                  orographic_updraft_from_dem)
     from ssrs_tpu.potential import solve_potential_refined
     from ssrs_tpu.potential.boundary import boundary_masks
 
-    nrow, ncol, res = 1200, 1400, 50.0
+    # defaults reproduce the round-3 Appalachian workload; the WY-scale
+    # fused-eligible seasonal run (grid fits the fused kernel's VMEM
+    # histogram) is SSRS_SEASONAL_GRID=500x600 SSRS_SEASONAL_TRACKS=100000
+    grid_env = os.environ.get('SSRS_SEASONAL_GRID', '1200x1400')
+    nrow, ncol = (int(v) for v in grid_env.split('x'))
+    res = 50.0
     n_cases = int(os.environ.get('SSRS_SEASONAL_CASES', 24))
-    n_tracks = 1000
-    step_cap = 4000
+    n_tracks = int(os.environ.get('SSRS_SEASONAL_TRACKS', 1000))
+    step_cap = int(os.environ.get('SSRS_SEASONAL_CAP', 4000))
 
     dem = jnp.asarray(synthetic_dem(nrow, ncol, res))
     dirp = jnp.asarray(directional_probs(0.))
@@ -71,16 +83,33 @@ def main():
     keys = jax.random.split(jax.random.key(0), n_cases)
     dirps = jnp.broadcast_to(dirp, (n_cases, 9))
 
-    presence, steps = simulate_presence_cases(params, tables, dirps,
-                                              starts, keys, chunk=512)
-    presence.block_until_ready()  # compile + run
-    t0 = time.perf_counter()
-    keys2 = jax.random.split(jax.random.key(1), n_cases)
-    presence, steps = simulate_presence_cases(params, tables, dirps,
-                                              starts, keys2, chunk=512)
-    presence.block_until_ready()
-    dt_sim = time.perf_counter() - t0
-    total = int(np.asarray(presence).astype(np.int64).sum())
+    def run_vmapped(seed):
+        ks = jax.random.split(jax.random.key(seed), n_cases)
+        p, s = simulate_presence_cases(params, tables, dirps, starts,
+                                       ks, chunk=512)
+        return np.asarray(p)  # materialization = reliable axon sync
+
+    def run_compacting(seed):
+        ks = list(jax.random.split(jax.random.key(seed), n_cases))
+        p, s = simulate_presence_cases_compacting(
+            params, list(tables), starts, ks, dirps=dirps, chunk=512,
+            tail_bucket='auto')
+        return np.asarray(p)
+
+    results = {}
+    for name, runner in (('vmapped', run_vmapped),
+                         ('compacting', run_compacting)):
+        runner(0)  # compile + first run
+        runner(0)  # warm caches / auto-tail estimates
+        t0 = time.perf_counter()
+        p = runner(1)
+        dt = time.perf_counter() - t0
+        total = int(p.astype(np.int64).sum())
+        results[name] = {
+            'sim_seconds': round(dt, 2),
+            'agent_steps': total - n_cases * n_tracks,
+            'steps_per_sec': round((total - n_cases * n_tracks) / dt, 1),
+        }
 
     print(json.dumps({
         'metric': 'seasonal_ensemble',
@@ -88,9 +117,10 @@ def main():
         'cases': n_cases,
         'tracks_per_case': n_tracks,
         'fields_seconds': round(dt_fields, 2),
-        'sim_seconds': round(dt_sim, 2),
-        'agent_steps': total - n_cases * n_tracks,
-        'steps_per_sec': round((total - n_cases * n_tracks) / dt_sim, 1),
+        'engines': results,
+        'speedup_compacting_vs_vmapped': round(
+            results['vmapped']['sim_seconds']
+            / max(results['compacting']['sim_seconds'], 1e-9), 2),
     }))
 
 

@@ -22,10 +22,10 @@ _enable_compile_cache()
 from ssrs_tpu.potential.boundary import boundary_masks
 from ssrs_tpu.potential.ds import DS, ds_add, ds_from
 from ssrs_tpu.potential.lap import (_apply_lap, _gcr_solve,
-                                    _island_correction, _tile_segsum,
+                                    _tile_broadcast, _tile_segsum,
                                     apply_lap_ds, build_lap_levels,
                                     build_tile_hierarchy, island_labels,
-                                    weight_planes)
+                                    island_sound_mask, weight_planes)
 
 SHAPE = (2048, 2048)
 
@@ -41,7 +41,7 @@ def hard_conductivity(shape, seed=1):
 
 
 @functools.partial(jax.jit, static_argnames=('num', 'npass'))
-def staged(cond, bmask, bvals, tiles, num: int, npass: int):
+def staged(cond, bmask, bvals, tiles, sound, num: int, npass: int):
     bmask = jnp.asarray(bmask, bool)
     bvals = jnp.asarray(bvals, jnp.float32)
     planes = weight_planes(cond)
@@ -59,7 +59,14 @@ def staged(cond, bmask, bvals, tiles, num: int, npass: int):
         rsum = _tile_segsum(r_hi, top.lidx, top.slot_iota, top.sidx,
                             top.sisland, num,
                             top.ocell, top.oisland)
-        return (rsum * top.zaz_inv).at[0].set(0.)
+        return (rsum * top.zaz_inv * sound).at[0].set(0.)
+
+    def island_correction(uds, r_hi):
+        c = island_coeff(r_hi)
+        upd = _tile_broadcast(c, top.lidx, top.slot_iota, top.sidx,
+                              top.sisland, top.shape, top.ocell,
+                              top.oisland)
+        return ds_add(uds, ds_from(upd * notb))
 
     r0 = -_apply_lap(top.planes, u0) * notb
     du, rn1 = _gcr_solve(levels, r0, 60, 1e-7 * scale)
@@ -76,7 +83,7 @@ def staged(cond, bmask, bvals, tiles, num: int, npass: int):
                                      0.05 * scaled_norm(r_hi))
         uds = ds_add(uds, ds_from(delta * notb))
         r_hi = ds_resid(uds)
-        uds = _island_correction(uds, r_hi, top)
+        uds = island_correction(uds, r_hi)
         r_hi = ds_resid(uds)
         lev = jnp.max(jnp.abs(island_coeff(r_hi)))
         return uds, (scaled_norm(r_hi) / scale, lev)
@@ -96,12 +103,13 @@ def main():
     tiles = build_tile_hierarchy(labels, bmask)
     cj, bj = jnp.asarray(cond), jnp.asarray(bmask)
     vj = jnp.asarray(bvals, jnp.float32)
+    sound = jnp.asarray(island_sound_mask(labels, num))
 
     npass = 10
-    rn1, rns, levs = staged(cj, bj, vj, tiles, num, npass)
+    rn1, rns, levs = staged(cj, bj, vj, tiles, sound, num, npass)
     rn1 = float(rn1)
     t0 = time.perf_counter()
-    rn1_, rns, levs = staged(cj, bj, vj, tiles, num, npass)
+    rn1_, rns, levs = staged(cj, bj, vj, tiles, sound, num, npass)
     rns = np.asarray(rns)
     dt = time.perf_counter() - t0
     levs = np.asarray(levs)

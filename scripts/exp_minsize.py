@@ -49,17 +49,18 @@ def main(sizes):
         num = 256
         while num < k + 1:
             num *= 4
+        sound = jnp.asarray(L.island_sound_mask(labels, num))
         for min_size in (4, 16, 64, 128, 256):
             tiles = L.build_tile_hierarchy(labels, np.asarray(bmask),
                                            min_size=min_size)
             args = (jnp.asarray(cond), jnp.asarray(bmask),
                     jnp.asarray(bvals, jnp.float32))
-            out, rrel = L._solve_refined_jit(*args, tiles, num, 1e-7,
-                                             60, 30)
+            out, rrel = L._solve_refined_jit(*args, tiles, sound, num,
+                                             1e-7, 60, 30)
             np.asarray(out)  # compile + first solve
             t0 = time.perf_counter()
-            out, rrel = L._solve_refined_jit(*args, tiles, num, 1e-7,
-                                             60, 30)
+            out, rrel = L._solve_refined_jit(*args, tiles, sound, num,
+                                             1e-7, 60, 30)
             out = np.asarray(out)
             dt = time.perf_counter() - t0
             print(f'n={n} min_size={min_size:4d} levels={len(tiles):2d} '

@@ -17,7 +17,7 @@ the f64 oracle. Round-3 measurement (CPU f32):
   raising the flag threshold would false-positive normal large-grid
   exits (8192^2 exits at rrel 6.3e-4).
 """
-import sys, time
+import sys
 sys.path.insert(0, '/root/repo')
 import numpy as np, jax
 jax.config.update('jax_platforms', 'cpu')

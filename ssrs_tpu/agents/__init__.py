@@ -10,6 +10,7 @@ from .simulate import (SimState, TrackParams, harmonic_mean_weights,
                        init_state, make_step_fn, prepare_starts,
                        prepared_weights,
                        simulate_presence, simulate_presence_cases,
+                       simulate_presence_cases_compacting,
                        simulate_presence_compacting,
                        simulate_tracks_recorded)
 from .starts import get_starting_indices
@@ -22,6 +23,7 @@ __all__ = [
     'SimState', 'TrackParams', 'harmonic_mean_weights', 'init_state',
     'make_step_fn', 'prepare_starts', 'prepared_weights',
     'simulate_presence',
-    'simulate_presence_cases', 'simulate_presence_compacting',
+    'simulate_presence_cases', 'simulate_presence_cases_compacting',
+    'simulate_presence_compacting',
     'simulate_tracks_recorded', 'get_starting_indices',
 ]

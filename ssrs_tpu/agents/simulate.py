@@ -74,11 +74,14 @@ class TrackParams(NamedTuple):
     memory_k: int                      # direction-memory length (>= 0)
     burnin: int                        # boundary-push steps
     nsteps: int                        # step cap (static)
-    # storage dtype of the per-cell move-weight table. bfloat16 halves the
-    # dominant per-step cost (the random 9-float gather) for ~0.4%
-    # relative weight quantization, which the presence statistics absorb
-    # (verified in tests); use 'float32' for maximum fidelity.
-    weight_dtype: str = 'bfloat16'
+    # storage dtype of the per-cell move-weight table. The default
+    # 'float32' keeps move probabilities at the reference's working
+    # precision (fidelity-first, like the deterministic tail_bucket
+    # default); throughput drivers (bench.py, ensembles) opt into
+    # 'bfloat16', which halves the dominant per-step cost (the random
+    # 9-float gather) for ~0.4% relative weight quantization that the
+    # presence statistics absorb (verified in tests).
+    weight_dtype: str = 'float32'
     # presence accumulation for the XLA step: 'auto' = one-hot int8 MXU
     # matmul histogram for grids with nrow+ncol <= 4096 (exact, ~25%
     # faster end-to-end than XLA's serialized scatter-add), plain
@@ -885,8 +888,17 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
                                  chunk: int = 512,
                                  min_bucket: int = 1024,
                                  valid=None,
-                                 tail_bucket=0):
+                                 tail_bucket=0,
+                                 base_flat=None,
+                                 dirp=None):
     """Presence simulation with dead-agent compaction.
+
+    ``base_flat``: an already-prepared ``(nrow*ncol, 9)`` weight table
+    (``prepared_weights``); when given, ``updraft``/``potential`` are
+    ignored and the table is used as-is — the multi-case driver
+    (:func:`simulate_presence_cases_compacting`) prepares all case
+    tables up front and passes them here. ``dirp`` optionally overrides
+    the directional prior derived from ``params.move_dirn``.
 
     ``tail_bucket``: 0 (default) switches to the one-dispatch tail at
     min_bucket; a positive int switches at that bucket (floored at
@@ -906,15 +918,17 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
 
     Returns (presence int32 (nrow, ncol), steps int32).
     """
-    dirp = jnp.asarray(directional_probs(params.move_dirn))
+    if dirp is None:
+        dirp = jnp.asarray(directional_probs(params.move_dirn))
     table = jnp.asarray(restriction_table())
-    has_table = updraft is not None
+    has_table = base_flat is not None or updraft is not None
     starts_p, valid = _pad_starts(params, start_rc, valid, has_table)
-    if has_table:
+    if base_flat is not None:
+        state = init_state(params, starts_p, key, valid=valid)
+    elif has_table:
         base_flat, state = _prologue_jit(params, updraft, potential,
                                          dirp, starts_p, key, valid)
     else:
-        base_flat = None
         state = init_state(params, starts_p, key, valid=valid)
     min_bucket = _fused_quantize(params, has_table, min_bucket)
     quantum = _fused_quantum(params, has_table)
@@ -1004,3 +1018,116 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
                         and m * chunk * per_slot < 2 * rtt):
                     tail_bucket = m  # switch on the next iteration
     return _final_flush(params, state)
+
+
+def simulate_presence_cases_compacting(params: TrackParams, base_tables,
+                                       start_rc, keys,
+                                       dirps=None,
+                                       chunk: int = 512,
+                                       min_bucket: int = 1024,
+                                       tail_bucket=0,
+                                       valid=None):
+    """Multi-case presence simulation: the seasonal/sweep production
+    path, with the full single-chip fast path available to every case.
+
+    The jitted :func:`simulate_presence_cases` engine advances all C
+    cases in lockstep under ``vmap``; that forces the XLA step (the
+    fused Pallas kernel is not vmapped over cases) and keeps every
+    case's full agent bucket alive until the LAST case dies — the two
+    losses VERDICT r3 item 1 flags. This driver instead runs the cases
+    through the host-orchestrated compacting pipeline — fused step on
+    TPU, dead-agent compaction, one-dispatch tail, per-case early
+    exit — ROUND-ROBIN INTERLEAVED: each round enqueues one chunk per
+    still-active case before reading any case's alive count, so the
+    ~50 ms axon-tunnel scalar read of case i overlaps the device work
+    of cases i+1..C (the device executes its queue in order; the host
+    is the only thing that blocks). Per-round host cost stays ~1 RTT +
+    C enqueues instead of C RTTs.
+
+    RNG: case i uses ``keys[i]`` exactly as the single-case compacting
+    driver would — results per case are bit-identical to
+    ``simulate_presence_compacting`` with the same key and bucket
+    trajectory, and statistically equivalent to
+    ``simulate_presence_cases`` (different RNG partitioning).
+
+    Parameters
+    ----------
+    base_tables : (C, nrow*ncol, 9) stacked prepared tables, or a list
+        of C ``(nrow*ncol, 9)`` tables (``prepared_weights`` output)
+    start_rc : (N, 2) shared starts or (C, N, 2) per-case starts
+    keys : (C,) PRNG keys (stacked or list)
+    dirps : optional (C, 9) per-case directional priors; None derives
+        the shared prior from ``params.move_dirn``
+    tail_bucket : as in :func:`simulate_presence_compacting`; 'auto'
+        here means "switch at min_bucket" — the interleaved rounds
+        already overlap the RTT the auto rule exists to dodge, so the
+        measured-cost rule adds nondeterminism for no win.
+
+    Returns (presence int32 (C, nrow, ncol), steps int32 (C,)).
+    """
+    n_cases = len(base_tables)
+    table = jnp.asarray(restriction_table())
+    if dirps is None:
+        shared_dirp = jnp.asarray(directional_probs(params.move_dirn))
+        dirp_list = [shared_dirp] * n_cases
+    else:
+        dirp_list = [jnp.asarray(dirps[i]) for i in range(n_cases)]
+    min_bucket = _fused_quantize(params, True, min_bucket)
+    quantum = _fused_quantum(params, True)
+    if tail_bucket in (0, 'auto'):
+        tail_switch = min_bucket
+    elif tail_bucket < 0:
+        tail_switch = -1
+    else:
+        tail_switch = max(min_bucket, int(tail_bucket))
+
+    per_case_starts = (not isinstance(start_rc, (list, tuple))
+                       and np.ndim(start_rc) == 3)
+    if per_case_starts:
+        prepared = [prepare_starts(params, start_rc[i], valid)
+                    for i in range(n_cases)]
+    else:
+        prepared = [prepare_starts(params, start_rc, valid)] * n_cases
+
+    states = {}
+    for i in range(n_cases):
+        starts_d, valid_d = prepared[i]
+        states[i] = init_state(params, starts_d, keys[i], valid=valid_d)
+    steps_done = {i: 0 for i in range(n_cases)}
+    presence = {}
+    steps = {}
+    active = list(range(n_cases))
+    while active:
+        # enqueue phase: one chunk (or the whole tail) per active case,
+        # no host reads — the device queue fills before anything blocks
+        reads = []
+        for i in active:
+            cur = states[i].pos_r.shape[0]
+            if tail_switch > 0 and cur <= tail_switch:
+                st, _ = _run_tail(params, base_tables[i], dirp_list[i],
+                                  table, states[i], chunk)
+                presence[i] = _presence_out(params, st.presence)
+                steps[i] = st.step  # tail flushed internally
+                continue
+            st, n_alive_dev = _run_chunk(params, base_tables[i],
+                                         dirp_list[i], table,
+                                         states[i], chunk)
+            states[i] = st
+            steps_done[i] += chunk
+            reads.append((i, n_alive_dev))
+        # read phase: each int() blocks one tunnel RTT, during which the
+        # device drains the other cases' enqueued chunks
+        active = []
+        for i, n_alive_dev in reads:
+            n_alive = int(n_alive_dev)
+            if steps_done[i] >= params.nsteps or n_alive == 0:
+                presence[i], steps[i] = _final_flush(params, states[i])
+                continue
+            cur = states[i].pos_r.shape[0]
+            if cur > min_bucket:
+                m = _bucket_for(n_alive, min_bucket, quantum)
+                if m < cur:
+                    states[i] = _compact(params, states[i], m)
+            active.append(i)
+    return (jnp.stack([presence[i] for i in range(n_cases)]),
+            jnp.stack([steps[i] for i in range(n_cases)]))

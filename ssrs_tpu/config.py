@@ -103,6 +103,22 @@ class Config:
     # '$YEAR' plus the years it covers; only read when wtk_source='LOCAL'
     wtk_local_template: str = ''
     wtk_local_years: Tuple[int, ...] = ()
+    # materialize reference-format ``_tracks.pkl`` trajectories for runs
+    # with track_count <= this budget; larger runs keep only the
+    # on-device presence counts (``_counts.npy``)
+    track_pkl_budget: int = 10_000
+    # step engine passthrough to the agent scan: 'auto' (fused Pallas
+    # kernel when on TPU and the grid's VMEM histogram fits, else XLA),
+    # 'fused', 'xla' (ssrs_tpu.agents.simulate module docstring)
+    track_step_impl: str = 'auto'
+    # presence accumulation inside the XLA step: 'auto' (one-hot MXU
+    # matmul for nrow+ncol <= 4096, else scatter), 'matmul', 'scatter'
+    track_presence_impl: str = 'auto'
+    # compacting-driver tail switch: 0 = one-dispatch tail at the
+    # minimum bucket (deterministic default), a positive int = switch at
+    # that bucket, -1 = never, 'auto' = self-tuned from measured
+    # dispatch cost (throughput mode; NOT run-to-run deterministic)
+    track_tail_bucket: object = 0
 
     # class-level constant (not a dataclass field; matches reference where
     # turbine_mrkr_styles carries no annotation, ssrs/config.py:61)

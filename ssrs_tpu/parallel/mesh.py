@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..agents.simulate import TrackParams, simulate_presence
+from ..agents.simulate import (SimState, TrackParams, _bucket_for,
+                               _compact, _fused_quantum, _prologue_jit,
+                               _run_chunk, _run_tail, directional_probs,
+                               flush_pending, init_state,
+                               prepared_weights, restriction_table,
+                               simulate_presence)
 
 
 def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
@@ -113,3 +118,215 @@ def simulate_presence_sharded(params: TrackParams,
     if potential is not None:
         args.append(jnp.asarray(potential))
     return mapped(*args)
+
+
+# ---- compacting sharded driver (VERDICT r3 item 2) ----------------------
+#
+# The plain sharded engine above keeps every agent slot alive for the
+# whole run: the single-chip compacting driver's measured 2-3x win (up
+# to ~80% of slots dead by mid-run) vanished the moment a mesh
+# appeared. This section ports the host-orchestrated bucket ladder to
+# the mesh: each shard packs ITS OWN survivors (no cross-device agent
+# migration — the weight tables are replicated, so a survivor is
+# equally at home on its current device), and all shards shrink to the
+# same next bucket in lockstep, sized by the pmax'd per-shard alive
+# count (SPMD needs one static shape across shards). Collectives per
+# chunk round: ONE scalar pmax; at the end: one presence psum + one
+# steps pmax — same bound as the non-compacting engine, asserted in
+# tests/test_parallel.py::test_compacting_sharded_collective_schedule.
+#
+# The per-shard state between rounds is a tuple of globally-sharded
+# arrays (agent axis over 'agents'; per-shard PRNG keys and presence
+# partials stacked on a leading device axis). The shard bodies are thin
+# wrappers around the SAME jitted pieces the single-chip driver runs
+# (_run_chunk / _compact / _run_tail), so per-shard semantics are
+# identical by construction.
+
+_STATE_AXES = ('pos_r', 'pos_c', 'mem', 'alive', 'palive', 'keys',
+               'presence')
+
+
+def _state_specs() -> tuple:
+    """PartitionSpecs of the inter-round state tuple (order:
+    pos_r, pos_c, mem, alive, palive, keys, presence)."""
+    return (P('agents'), P('agents'), P(None, 'agents'), P('agents'),
+            P('agents'), P('agents'), P('agents', None, None))
+
+
+def _pack(st: SimState):
+    """SimState -> inter-round tuple (shard-local view, leading device
+    axis of size 1 on keys/presence)."""
+    return (st.pos_r, st.pos_c, st.mem, st.alive, st.palive,
+            st.key[None], st.presence[None])
+
+
+def _unpack(tup, step) -> SimState:
+    pos_r, pos_c, mem, alive, palive, keys, presence = tup
+    return SimState(pos_r=pos_r, pos_c=pos_c, mem=mem, alive=alive,
+                    palive=palive, key=keys[0], presence=presence[0],
+                    step=step)
+
+
+@functools.lru_cache(maxsize=None)
+def _init_sharded_fn(params: TrackParams, mesh: Mesh):
+    def body(starts_l, valid_l, key_r):
+        key_l = jax.random.fold_in(key_r, jax.lax.axis_index('agents'))
+        st = init_state(params, starts_l, key_l, valid=valid_l)
+        return _pack(st)
+
+    mapped = jax.shard_map(body, mesh=mesh,
+                           in_specs=(P('agents'), P('agents'), P()),
+                           out_specs=_state_specs())
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _round_sharded_fn(params: TrackParams, mesh: Mesh, chunk: int,
+                      has_table: bool):
+    """One chunk round on every shard + the lockstep bucket signal
+    (pmax of per-shard alive counts) — the round's only collective."""
+
+    def body(state_tup, step0, *fields):
+        base_flat = fields[0] if has_table else None
+        dirp, table = fields[-2], fields[-1]
+        st = _unpack(state_tup, step0)
+        st, n_alive = _run_chunk(params, base_flat, dirp, table, st,
+                                 chunk)
+        max_alive = jax.lax.pmax(n_alive, 'agents')
+        return _pack(st), max_alive
+
+    # field specs in order: [base_flat (nrow*ncol, 9)], dirp (9,),
+    # table (9, 9) — all replicated
+    in_specs = (_state_specs(), P(),
+                *((P(None, None),) if has_table else ()),
+                P(None), P(None, None))
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=(_state_specs(), P()))
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _compact_sharded_fn(params: TrackParams, mesh: Mesh, m: int):
+    """Each shard packs its own survivors to the front and truncates to
+    the common bucket ``m`` (>= the pmax'd alive count, so no survivor
+    is dropped). Flushes the pending delayed-presence update first,
+    like the single-chip _compact."""
+
+    def body(state_tup, step0):
+        st = _unpack(state_tup, step0)
+        st = _compact(params, st, m)
+        return _pack(st)
+
+    mapped = jax.shard_map(body, mesh=mesh,
+                           in_specs=(_state_specs(), P()),
+                           out_specs=_state_specs())
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_sharded_fn(params: TrackParams, mesh: Mesh, chunk: int,
+                     has_table: bool):
+    """Run every shard's remainder in one dispatch (device-side
+    while_loop with per-shard early exit — shards may run different
+    trip counts; there is no collective inside the divergent region)
+    and reduce: presence psum + steps pmax."""
+
+    def body(state_tup, step0, *fields):
+        base_flat = fields[0] if has_table else None
+        dirp, table = fields[-2], fields[-1]
+        st = _unpack(state_tup, step0)
+        st, _ = _run_tail(params, base_flat, dirp, table, st, chunk)
+        return (jax.lax.psum(st.presence, 'agents'),
+                jax.lax.pmax(st.step, 'agents'))
+
+    in_specs = (_state_specs(), P(),
+                *((P(None, None),) if has_table else ()),
+                P(None), P(None, None))
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=(P(), P()))
+    return jax.jit(mapped)
+
+
+@functools.lru_cache(maxsize=None)
+def _finalize_sharded_fn(params: TrackParams, mesh: Mesh):
+    def body(state_tup, step0):
+        st = _unpack(state_tup, step0)
+        st = flush_pending(params, st)
+        return (jax.lax.psum(st.presence, 'agents'),
+                jax.lax.pmax(st.step, 'agents'))
+
+    mapped = jax.shard_map(body, mesh=mesh,
+                           in_specs=(_state_specs(), P()),
+                           out_specs=(P(), P()))
+    return jax.jit(mapped)
+
+
+def simulate_presence_sharded_compacting(
+        params: TrackParams, start_rc, key: jax.Array,
+        updraft=None, potential=None, mesh: Optional[Mesh] = None,
+        chunk: int = 512, min_bucket: int = 1024, tail_bucket=0):
+    """Sharded presence simulation WITH dead-agent compaction and the
+    one-dispatch tail — the mesh port of
+    ``simulate_presence_compacting`` (same bucket ladder, same chunk
+    semantics, per-shard RNG streams as in the plain sharded engine).
+
+    ``tail_bucket``: 0 (default) switches to the tail at min_bucket; a
+    positive int switches at that per-shard bucket; negative never
+    switches; 'auto' is accepted and treated as the min_bucket switch
+    (the measured-RTT rule exists for tunnel-attached single chips).
+
+    Returns (presence int32 (nrow, ncol) — globally summed,
+    steps int32).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    has_table = updraft is not None
+    if potential is not None and not has_table:
+        raise ValueError('potential requires updraft (the fluidflow '
+                         'weight table is built from both)')
+    quantum = _fused_quantum(params, has_table)
+    starts, valid = pad_to_multiple(np.asarray(start_rc, np.int32),
+                                    n_dev * quantum)
+    min_bucket = ((min_bucket + quantum - 1) // quantum) * quantum
+    if tail_bucket in (0, 'auto'):
+        tail_switch = min_bucket
+    elif not isinstance(tail_bucket, int) or tail_bucket < 0:
+        tail_switch = -1
+    else:
+        tail_switch = max(min_bucket, int(tail_bucket))
+
+    dirp = jnp.asarray(directional_probs(params.move_dirn))
+    table = jnp.asarray(restriction_table())
+    if has_table:
+        base_flat = prepared_weights(updraft, potential, dirp,
+                                     params.weight_dtype)
+        fields = (base_flat, dirp, table)
+    else:
+        fields = (dirp, table)
+
+    state = _init_sharded_fn(params, mesh)(
+        jnp.asarray(starts), jnp.asarray(valid), key)
+    steps_done = 0
+    step0 = jnp.asarray(0, jnp.int32)
+    max_alive = starts.shape[0] // n_dev  # optimistic, like single-chip
+    round_fn = _round_sharded_fn(params, mesh, chunk, has_table)
+    nrow, ncol = params.grid_shape
+    while steps_done < params.nsteps and max_alive > 0:
+        bucket = state[0].shape[0] // n_dev
+        if tail_switch > 0 and bucket <= tail_switch:
+            presence, steps = _tail_sharded_fn(
+                params, mesh, chunk, has_table)(state, step0, *fields)
+            return presence[:nrow, :ncol], steps
+        state, max_alive_dev = round_fn(state, step0, *fields)
+        steps_done += chunk
+        step0 = jnp.asarray(steps_done, jnp.int32)
+        max_alive = int(max_alive_dev)   # ONE host read per round
+        bucket = state[0].shape[0] // n_dev
+        if max_alive > 0 and bucket > min_bucket:
+            m = _bucket_for(max_alive, min_bucket, quantum)
+            if m < bucket:
+                state = _compact_sharded_fn(params, mesh, m)(state,
+                                                             step0)
+    presence, steps = _finalize_sharded_fn(params, mesh)(state, step0)
+    return presence[:nrow, :ncol], steps

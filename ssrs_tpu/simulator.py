@@ -13,7 +13,7 @@ Differences by design (TPU-native engine):
   accumulate on device, so ``track_count`` can be 100k+;
 - ``_tracks.pkl`` files are still written (list of int16 (row, col)
   trajectories, same format) whenever the run is small enough to
-  materialize trajectories (``track_count * steps <= track_pkl_budget``),
+  materialize trajectories (``track_count <= Config.track_pkl_budget``),
   alongside a ``_counts.npy`` presence-count artifact that the presence
   plots prefer;
 - randomness is keyed (ssrs_tpu.core.rng), not global-NumPy-state;
@@ -58,7 +58,6 @@ class Simulator(PlottingMixin, Config):
 
     lonlat_crs = 'EPSG:4326'
     time_format = 'y%Ym%md%dh%H'
-    track_record_max = 10_000  # materialize .pkl tracks up to this count
 
     def __init__(self, in_config: Config = None, **kwargs) -> None:
         if in_config is None:
@@ -360,6 +359,13 @@ class Simulator(PlottingMixin, Config):
         # solve handles any field, so keep the net: fall back rather
         # than ever hand a bad potential to the track model
         # (mechanism test: test_simulator.py::test_potential_fallback).
+        # Known hole in "never": on adversarial dense-speckle fields a
+        # residual-INVISIBLE error floor exists — east-strip island
+        # LEVELS can sit ~6/1000 off at rrel ~2e-3 (scripts/
+        # exp_stall_freq.py measured 2/200 such solves), below this
+        # threshold. Raising the threshold false-positives every large
+        # grid (67M-unknown exits are 6.5e-4), so the trade is accepted
+        # and documented rather than hidden (docs/DESIGN.md).
         if float(resid) > 5e-3:
             print(f'device potential solve stalled (rrel '
                   f'{float(resid):.2e}); falling back to the f64 '
@@ -395,7 +401,9 @@ class Simulator(PlottingMixin, Config):
             memory_k=int(self.track_dirn_restrict),
             burnin=self.grid.burnin_length(),
             nsteps=cap,
-            weight_dtype=str(self.track_weight_precision))
+            weight_dtype=str(self.track_weight_precision),
+            presence_impl=str(self.track_presence_impl),
+            step_impl=str(self.track_step_impl))
 
     def simulate_tracks(self) -> None:
         """Simulate all tracks for every case/realization
@@ -435,9 +443,9 @@ class Simulator(PlottingMixin, Config):
                           axis=1).astype(np.int32)
         params = self._track_params()
         # reference-format .pkl trajectories are materialized for runs up
-        # to this many tracks (chunked recording handles any step cap);
-        # larger runs keep only the on-device presence counts
-        record = int(self.track_count) <= self.track_record_max
+        # to Config.track_pkl_budget tracks (chunked recording handles
+        # any step cap); larger runs keep only the on-device counts
+        record = int(self.track_count) <= int(self.track_pkl_budget)
 
         if self.movement_model not in ('fluidflow', 'drw'):
             raise ValueError(
@@ -483,12 +491,16 @@ class Simulator(PlottingMixin, Config):
             np.save(f'{fname}.npy', np.asarray(presence, dtype=np.int32))
 
     def _simulate_batched(self, params, starts, work) -> None:
-        """All (case, realization) populations advance together, vmapped
-        over the case axis (ssrs_tpu.agents.simulate_presence_cases) — the
-        reference loops these serially through its pool."""
+        """All (case, realization) populations run through the
+        interleaved multi-case compacting driver
+        (ssrs_tpu.agents.simulate_presence_cases_compacting): fused step
+        on TPU, dead-agent compaction, one-dispatch tail, per-case early
+        exit, with the host's per-chunk scalar reads overlapped across
+        cases — the reference loops these serially through its pool
+        (ssrs/simulator.py:348-386)."""
         import jax.numpy as jnp
         from .agents import directional_probs, prepared_weights
-        from .agents.simulate import simulate_presence_cases
+        from .agents.simulate import simulate_presence_cases_compacting
 
         dirp = jnp.asarray(directional_probs(float(self.track_direction)))
         tables, keys = [], []
@@ -510,10 +522,11 @@ class Simulator(PlottingMixin, Config):
         print(f'Simulating {len(work)} cases x {self.track_count} '
               'tracks (batched)..', end='', flush=True)
         start_time = time.time()
-        presence, steps = simulate_presence_cases(
-            params, jnp.stack(tables),
-            jnp.broadcast_to(dirp, (len(work), 9)),
-            jnp.asarray(starts), jnp.stack(keys))
+        tail = self.track_tail_bucket
+        tail = tail if tail == 'auto' else int(tail)
+        presence, steps = simulate_presence_cases_compacting(
+            params, tables, np.asarray(starts), keys,
+            tail_bucket=tail)
         presence = np.asarray(presence, dtype=np.int32)
         print(f'took {elapsed_str(start_time)}', flush=True)
         for i, (case_id, real_id, _, _) in enumerate(work):
@@ -522,20 +535,26 @@ class Simulator(PlottingMixin, Config):
             np.save(f'{fname}.npy', presence[i])
 
     def _run_large(self, params, starts, key, updraft, potential):
-        """Large-run driver: agent sharding over the device mesh when more
-        than one device is available (Config.mesh_devices; 0 = all local
-        devices), dead-agent compaction otherwise."""
+        """Large-run driver: agent sharding over the device mesh when
+        more than one device is available (Config.mesh_devices; 0 = all
+        local devices), with dead-agent compaction + the one-dispatch
+        tail in BOTH regimes (the sharded driver packs each shard's
+        survivors locally and shrinks buckets in lockstep)."""
         n_dev = (self.mesh_devices if self.mesh_devices > 0
                  else len(jax.devices()))
+        tail = self.track_tail_bucket
+        tail = tail if tail == 'auto' else int(tail)
         if n_dev > 1:
-            from .parallel import make_mesh, simulate_presence_sharded
+            from .parallel import (make_mesh,
+                                   simulate_presence_sharded_compacting)
             mesh = make_mesh(self.mesh_devices)
-            return simulate_presence_sharded(
+            return simulate_presence_sharded_compacting(
                 params, starts, key, updraft=updraft,
-                potential=potential, mesh=mesh)
+                potential=potential, mesh=mesh, tail_bucket=tail)
         from .agents import simulate_presence_compacting
         return simulate_presence_compacting(
-            params, starts, key, updraft=updraft, potential=potential)
+            params, starts, key, updraft=updraft, potential=potential,
+            tail_bucket=tail)
 
     def _get_tracks_fname(self, case_id, real_id, dirname):
         return os.path.join(dirname,

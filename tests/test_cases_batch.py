@@ -6,7 +6,9 @@ import numpy as np
 
 from ssrs_tpu.agents import (TrackParams, directional_probs,
                              prepared_weights, simulate_presence,
-                             simulate_presence_cases)
+                             simulate_presence_cases,
+                             simulate_presence_cases_compacting,
+                             simulate_presence_compacting)
 
 GRID = (48, 56)
 
@@ -63,7 +65,7 @@ def test_sweep_case_matches_single(rng):
            * np.ones((1, ncol))).astype(np.float32)
     params = _params()
     dirp = jnp.asarray(directional_probs(0.))
-    table = prepared_weights(updraft, pot, dirp, 'bfloat16')
+    table = prepared_weights(updraft, pot, dirp, params.weight_dtype)
 
     n = 300
     starts = np.stack([rng.integers(4, 8, n), rng.integers(20, 30, n)],
@@ -75,3 +77,77 @@ def test_sweep_case_matches_single(rng):
         params, table[None], dirp[None], jnp.asarray(starts), key[None])
     np.testing.assert_array_equal(np.asarray(p_single),
                                   np.asarray(p_sweep)[0])
+
+
+def _drift_field_tables(rng):
+    nrow, ncol = GRID
+    y = np.linspace(0, np.pi, nrow)[:, None]
+    x = np.linspace(0, 2 * np.pi, ncol)[None, :]
+    updraft = (1.0 + 0.8 * np.sin(x) * np.sin(y)).astype(np.float32)
+    dirns = [0., 90.]
+    dirps = np.stack([directional_probs(d) for d in dirns])
+    pot_n = (np.linspace(1000., 0., nrow)[:, None]
+             * np.ones((1, ncol))).astype(np.float32)
+    pot_e = (np.ones((nrow, 1))
+             * np.linspace(1000., 0., ncol)[None, :]).astype(np.float32)
+    tables = [
+        prepared_weights(updraft, pot_n, jnp.asarray(dirps[0]),
+                         'float32'),
+        prepared_weights(updraft, pot_e, jnp.asarray(dirps[1]),
+                         'float32')]
+    return tables, dirps
+
+
+def test_cases_compacting_matches_single(rng):
+    """The interleaved multi-case compacting driver must reproduce the
+    single-case compacting driver bit-exactly per case — same key, same
+    table, same bucket ladder (VERDICT r3 item 1)."""
+    params = _params(nsteps=700)  # long cap so compaction triggers
+    tables, dirps = _drift_field_tables(rng)
+    n = 600
+    starts = np.stack([rng.integers(20, 28, n), rng.integers(24, 32, n)],
+                      axis=1).astype(np.int32)
+    keys = jax.random.split(jax.random.key(3), 2)
+
+    p_multi, s_multi = simulate_presence_cases_compacting(
+        params, tables, starts, list(keys),
+        dirps=jnp.asarray(dirps), chunk=64, min_bucket=128)
+    p_multi = np.asarray(p_multi)
+    assert p_multi.shape == (2,) + GRID
+    for i in range(2):
+        p_one, s_one = simulate_presence_compacting(
+            params, starts, keys[i], base_flat=tables[i],
+            dirp=jnp.asarray(dirps[i]), chunk=64, min_bucket=128)
+        np.testing.assert_array_equal(p_multi[i], np.asarray(p_one))
+    # drift sanity: case 0 north, case 1 east (as in the vmapped engine)
+    nrow, ncol = GRID
+    assert p_multi[0, nrow // 2:, :].sum() > p_multi[0, :nrow // 2, :].sum()
+    assert p_multi[1, :, ncol // 2:].sum() > p_multi[1, :, :ncol // 2].sum()
+
+
+def test_cases_compacting_statistics_match_vmapped(rng):
+    """Presence statistics from the compacting multi-case driver agree
+    with the vmapped lockstep engine within sampling noise (different
+    RNG partitioning, same stochastic process): compare per-case
+    north/east drift fractions."""
+    params = _params(nsteps=200)
+    tables, dirps = _drift_field_tables(rng)
+    n = 2000
+    starts = np.stack([rng.integers(20, 28, n), rng.integers(24, 32, n)],
+                      axis=1).astype(np.int32)
+    keys = jax.random.split(jax.random.key(11), 2)
+
+    p_a, _ = simulate_presence_cases(
+        params, jnp.stack(tables), jnp.asarray(dirps),
+        jnp.asarray(starts), keys)
+    p_b, _ = simulate_presence_cases_compacting(
+        params, tables, starts, list(keys), dirps=jnp.asarray(dirps),
+        chunk=64, min_bucket=256)
+    p_a, p_b = np.asarray(p_a, np.float64), np.asarray(p_b, np.float64)
+    nrow, ncol = GRID
+    for i, (sl_hi, axis) in enumerate([
+            (np.s_[:, nrow // 2:, :], 'north'),
+            (np.s_[:, :, ncol // 2:], 'east')]):
+        frac_a = p_a[sl_hi][i].sum() / p_a[i].sum()
+        frac_b = p_b[sl_hi][i].sum() / p_b[i].sum()
+        assert abs(frac_a - frac_b) < 0.03, (axis, frac_a, frac_b)

@@ -42,3 +42,29 @@ def test_run_tiny_synthetic(tmp_path):
     assert any(p.suffix == '.npy' for p in data.iterdir())
     figs = run_dir / 'figs'
     assert any(figs.rglob('*.png'))
+
+
+def test_run_engine_knobs_from_json(tmp_path):
+    """The engine knobs are reachable from a run JSON (VERDICT r3 item
+    4): track_pkl_budget=0 suppresses trajectory materialization even
+    for a tiny run, and step/presence/tail knobs flow into the engine
+    without error."""
+    cfg = tmp_path / 'knobs.json'
+    cfg.write_text(json.dumps({
+        'run_name': 'cli_knobs',
+        'out_dir': str(tmp_path / 'out'),
+        'sim_mode': 'uniform',
+        'region_width_km': [4., 3.],
+        'resolution': 100.,
+        'track_count': 50,
+        'track_start_region': [1., 3., 0.5, 1.],
+        'track_max_steps': 120,
+        'track_pkl_budget': 0,
+        'track_step_impl': 'xla',
+        'track_presence_impl': 'scatter',
+        'track_tail_bucket': 'auto',
+    }))
+    assert main(['run', str(cfg), '--no-plots']) == 0
+    data = tmp_path / 'out' / 'cli_knobs' / 'data' / 'uniform'
+    assert not list(data.glob('*_tracks.pkl'))   # budget 0: no pkl
+    assert list(data.glob('*_counts.npy'))       # counts still written

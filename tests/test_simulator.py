@@ -148,6 +148,28 @@ def test_config_json_roundtrip(sim):
     assert tuple(cfg.region_width_km) == (12., 10.)
 
 
+def test_engine_knobs_roundtrip(tmp_path):
+    """The TPU engine knobs survive a JSON round trip, including the
+    int-or-'auto' tail bucket (VERDICT r3 item 4)."""
+    import json
+    fpath = os.path.join(tmp_path, 'knobs.json')
+    cfg = Config(track_pkl_budget=123, track_step_impl='fused',
+                 track_presence_impl='matmul', track_tail_bucket='auto')
+    cfg.to_json(fpath)
+    back = Config.from_json(fpath)
+    assert back.track_pkl_budget == 123
+    assert back.track_step_impl == 'fused'
+    assert back.track_presence_impl == 'matmul'
+    assert back.track_tail_bucket == 'auto'
+    cfg2 = Config(track_tail_bucket=2048)
+    fpath2 = os.path.join(tmp_path, 'knobs2.json')
+    cfg2.to_json(fpath2)
+    assert Config.from_json(fpath2).track_tail_bucket == 2048
+    # reference-field serialization is unaffected by the added knobs
+    ref = cfg.asdict(reference_fields_only=True)
+    assert 'track_pkl_budget' not in ref and 'track_count' in ref
+
+
 def test_potential_fallback(sim, monkeypatch, capsys):
     """SuperLU-parity safety net: when the device solver reports a
     residual above 5e-3, _solve_potential must discard its answer and
