@@ -1,12 +1,17 @@
-"""Minimal GeoTIFF reading/writing without GDAL.
+"""GeoTIFF reading/writing without GDAL.
 
 The reference caches every downloaded terrain layer as GeoTIFF and
 validates cached files by bounds containment (ssrs/terrain/terrain.py:81-94,
-ssrs/raster.py:147-166). rasterio/GDAL is unavailable here, so this module
-reads pixel data via Pillow and parses the georeferencing TIFF tags
-directly (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory
-34735), which covers the single-strip/tiled float rasters that WMS servers
-and our own writer produce.
+ssrs/raster.py:147-166). rasterio/GDAL is unavailable here, so pixel
+data is decoded by the in-repo TIFF/BigTIFF decoder
+(:mod:`ssrs_tpu.data.tiffcore` — tiles/strips, Deflate/LZW/PackBits,
+predictors 2/3, multi-band, GDAL nodata, no Pillow bomb limits) and the
+georeferencing TIFF tags are parsed directly (ModelPixelScale 33550,
+ModelTiepoint 33922, GeoKeyDirectory 34735). Size policy: declared
+dimensions are checked against ``SSRS_TIFF_MAX_PIXELS`` (default 2e9)
+before allocation — see tiffcore for the rationale. Writing uses
+Pillow (single-band float32 strips; read back byte-exactly by
+tiffcore, round-trip-tested).
 """
 
 from __future__ import annotations
@@ -15,6 +20,8 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np
+
+from .tiffcore import read_tiff
 
 MODEL_PIXEL_SCALE = 33550
 MODEL_TIEPOINT = 33922
@@ -31,6 +38,8 @@ class RasterInfo:
     data: np.ndarray                      # (nrow, ncol), north-up row 0
     bounds: Tuple[float, float, float, float]  # (west, south, east, north)
     crs_code: Optional[str]               # e.g. 'EPSG:4326' when known
+    nodata: Optional[float] = None        # GDAL nodata value when tagged
+    nbands: int = 1                       # bands in the source file
 
     @property
     def transform(self):
@@ -41,16 +50,15 @@ class RasterInfo:
         return self.bounds[0], self.bounds[3], dx, dy
 
 
-def read_geotiff(fpath: str) -> RasterInfo:
-    """Read band 1 + georeferencing. Raises FileNotFoundError like the
-    reference's ``check_if_raster_file_exists`` (ssrs/raster.py:163-166)."""
-    from PIL import Image, TiffTags
-
-    with Image.open(fpath) as img:
-        data = np.asarray(img)
-        if data.ndim == 3:
-            data = data[..., 0]
-        tags = dict(img.tag_v2) if hasattr(img, 'tag_v2') else {}
+def read_geotiff(fpath: str, band: int = 1,
+                 mask_nodata: bool = False) -> RasterInfo:
+    """Read one band (1-indexed, rasterio convention) + georeferencing.
+    Raises FileNotFoundError like the reference's
+    ``check_if_raster_file_exists`` (ssrs/raster.py:163-166).
+    ``mask_nodata`` replaces GDAL-tagged nodata cells with NaN."""
+    img = read_tiff(fpath)
+    data = img.band_masked(band) if mask_nodata else img.band(band)
+    tags = {tag: vals for tag, (_, vals) in img.tags.items()}
 
     scale = tags.get(MODEL_PIXEL_SCALE)
     tiepoint = tags.get(MODEL_TIEPOINT)
@@ -76,7 +84,8 @@ def read_geotiff(fpath: str) -> RasterInfo:
                 crs_code = f'EPSG:{int(value)}'
 
     return RasterInfo(data=np.asarray(data, np.float64), bounds=bounds,
-                      crs_code=crs_code)
+                      crs_code=crs_code, nodata=img.nodata,
+                      nbands=img.nbands)
 
 
 def write_geotiff(fpath: str, data: np.ndarray,
@@ -117,7 +126,8 @@ def get_raster_bounds(fpath: str):
     return [round(v, 8) for v in info.bounds]
 
 
-def get_raster_data(fpath: str, band: int = 1) -> np.ndarray:
+def get_raster_data(fpath: str, band: int = 1,
+                    mask_nodata: bool = False) -> np.ndarray:
     """Raster data flipped to lower-left origin (ssrs/raster.py:147-152)."""
-    info = read_geotiff(fpath)
+    info = read_geotiff(fpath, band=band, mask_nodata=mask_nodata)
     return np.flipud(info.data)
