@@ -92,6 +92,15 @@ class Config:
     potential_solver: str = 'auto'  # auto, bicgstab, multigrid, dense
     potential_tol: float = 1e-6
     potential_maxiter: int = 0  # <=0 chooses a grid-dependent default
+    # stall-fallback size cap: if the device solver stalls (rrel >
+    # 5e-3, never observed on realistic fields) the f64 SuperLU
+    # fallback runs only when nrow*ncol <= this (measured cost: ~6 min
+    # / 15 GB at 2048^2, ~n^3 wall growth; at 4096^2 SuperLU's int32
+    # fill-in limit makes the factorization FAIL outright —
+    # docs/DESIGN.md "fallback cost at scale"); larger grids raise
+    # with the cost estimate instead of silently attempting it. <= 0
+    # lifts the cap.
+    potential_fallback_max_unknowns: int = 8_000_000
     # device mesh: number of devices to shard agents over (0 = all local)
     mesh_devices: int = 0
     # storage dtype of the per-cell move-weight table: 'float32' keeps

@@ -25,6 +25,33 @@ from .boundary import boundary_nodes
 
 SQRT2 = float(np.sqrt(2.0))
 
+# Measured cost anchors for the SuperLU solve on this class of system
+# (dense-speckle adversarial fields, scripts/exp_fallback_cost.py,
+# single-core host): (unknowns, wall seconds, peak RSS GB).
+#   512^2: 4.9 s / 0.94 GB;  1024^2: 41.8 s / 3.4 GB;
+#   2048^2: 364 s / 14.7 GB — wall ~ u^1.55, memory ~ u^1.1.
+# At 4096^2 (16.8M unknowns) scipy's SuperLU FAILS outright ("Not
+# enough memory to perform factorization" with 125 GB free — the
+# int32 fill-in indexing limit), so beyond ~8M unknowns this fallback
+# is not merely slow, it is unavailable; the Simulator's size cap
+# (Config.potential_fallback_max_unknowns) refuses before trying.
+_COST_ANCHOR_UNKNOWNS = 262_144          # 512^2
+_COST_ANCHOR_SECONDS = 4.9
+_COST_ANCHOR_GB = 0.94
+_COST_WALL_EXP = 1.55
+_COST_MEM_EXP = 1.1
+
+
+def fallback_cost_estimate(unknowns: int) -> Tuple[float, float]:
+    """(estimated wall seconds, estimated peak GB) of
+    :func:`solve_potential_direct` at ``unknowns`` grid cells, from the
+    measured scaling table above. Used by the Simulator's stall-fallback
+    policy to refuse silently buying an hours-long host solve
+    (docs/DESIGN.md "fallback cost at scale")."""
+    ratio = max(unknowns, 1) / _COST_ANCHOR_UNKNOWNS
+    return (_COST_ANCHOR_SECONDS * ratio ** _COST_WALL_EXP,
+            _COST_ANCHOR_GB * ratio ** _COST_MEM_EXP)
+
 
 def _edge_arrays(cond: np.ndarray):
     """Vectorized equivalent of the reference's per-node neighbor-list
@@ -89,6 +116,13 @@ def solve_potential_direct(conductivity: np.ndarray,
     a = sp.eye(inner.size, format='csc') - g_inner[:, inner]
     rhs = g_inner[:, bnodes] @ bvals
     x = spla.spsolve(a, rhs)
+    if not np.isfinite(x).all():
+        # SuperLU signals some failures (e.g. the int32 fill-in limit
+        # hit near 4096^2) by printing and returning non-finite output
+        raise RuntimeError(
+            f'SuperLU direct solve failed at {inner.size} unknowns '
+            '(non-finite solution; see docs/DESIGN.md "fallback cost '
+            'at scale" for the measured feasibility envelope)')
 
     full = np.empty(n)
     full[inner] = x

@@ -367,10 +367,29 @@ class Simulator(PlottingMixin, Config):
         # grid (67M-unknown exits are 6.5e-4), so the trade is accepted
         # and documented rather than hidden (docs/DESIGN.md).
         if float(resid) > 5e-3:
+            from .potential.direct import (fallback_cost_estimate,
+                                           solve_potential_direct)
+            unknowns = int(np.prod(self.gridsize))
+            est_s, est_gb = fallback_cost_estimate(unknowns)
+            cap = int(self.potential_fallback_max_unknowns)
+            if cap > 0 and unknowns > cap:
+                raise RuntimeError(
+                    f'device potential solve stalled (rrel '
+                    f'{float(resid):.2e}) on a {self.gridsize[0]}x'
+                    f'{self.gridsize[1]} grid, and the f64 direct '
+                    f'fallback at {unknowns} unknowns is estimated at '
+                    f'~{est_s / 60:.0f} min / ~{est_gb:.0f} GB — and '
+                    'measured to FAIL outright at 4096^2 (SuperLU '
+                    'int32 fill-in limit; docs/DESIGN.md "fallback '
+                    'cost at scale"). Raise Config.'
+                    'potential_fallback_max_unknowns to attempt it '
+                    "anyway, or set potential_solver='direct' to run "
+                    'it deliberately.')
             print(f'device potential solve stalled (rrel '
                   f'{float(resid):.2e}); falling back to the f64 '
-                  'direct solver..', flush=True)
-            from .potential.direct import solve_potential_direct
+                  f'direct solver (estimated ~{est_s:.0f} s / '
+                  f'~{est_gb:.1f} GB at {unknowns} unknowns)..',
+                  flush=True)
             return solve_potential_direct(conductivity,
                                           self.track_direction)
         return np.asarray(pot)

@@ -191,3 +191,39 @@ def test_potential_fallback(sim, monkeypatch, capsys):
     assert 'falling back to the f64 direct solver' in out
     want = solve_potential_direct(cond, sim.track_direction)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_potential_fallback_size_cap(sim, monkeypatch):
+    """Scale-aware stall policy (VERDICT r3 item 3): above
+    Config.potential_fallback_max_unknowns a stall raises with the
+    measured cost estimate instead of silently buying an hours-long
+    host solve."""
+    import pytest
+
+    import ssrs_tpu.potential as pot_mod
+
+    rng = np.random.default_rng(0)
+    cond = rng.random(sim.gridsize).astype(np.float32)
+    garbage = np.full(sim.gridsize, 1e6, np.float32)
+    monkeypatch.setattr(pot_mod, 'solve_potential_refined',
+                        lambda *a, **k: (garbage, 0.5))
+    monkeypatch.setattr(sim, 'potential_fallback_max_unknowns', 100)
+    with pytest.raises(RuntimeError, match='estimated'):
+        sim._solve_potential(cond)
+    # <= 0 lifts the cap: falls back to the direct solve again
+    monkeypatch.setattr(sim, 'potential_fallback_max_unknowns', 0)
+    got = sim._solve_potential(cond)
+    assert np.isfinite(got).all()
+
+
+def test_fallback_cost_estimate_monotone():
+    """The cost model reproduces its measured anchors and grows
+    superlinearly (scripts/exp_fallback_cost.py table)."""
+    from ssrs_tpu.potential.direct import fallback_cost_estimate
+    s512, g512 = fallback_cost_estimate(512 * 512)
+    assert abs(s512 - 4.9) < 1e-6 and abs(g512 - 0.94) < 1e-6
+    s2048, g2048 = fallback_cost_estimate(2048 * 2048)
+    assert 250 < s2048 < 500          # measured 364 s
+    assert 8 < g2048 < 25             # measured 14.7 GB
+    s8192, _ = fallback_cost_estimate(8192 * 8192)
+    assert s8192 > 3600               # hours territory: the cap's point
