@@ -1026,7 +1026,8 @@ def simulate_presence_cases_compacting(params: TrackParams, base_tables,
                                        chunk: int = 512,
                                        min_bucket: int = 1024,
                                        tail_bucket=0,
-                                       valid=None):
+                                       valid=None,
+                                       devices=None):
     """Multi-case presence simulation: the seasonal/sweep production
     path, with the full single-chip fast path available to every case.
 
@@ -1062,16 +1063,41 @@ def simulate_presence_cases_compacting(params: TrackParams, base_tables,
         here means "switch at min_bucket" — the interleaved rounds
         already overlap the RTT the auto rule exists to dodge, so the
         measured-cost rule adds nondeterminism for no win.
+    devices : optional list of jax devices; case i runs on
+        ``devices[i % len(devices)]`` — CASE parallelism, the
+        TPU-native analog of the reference's one-process-per-case pool
+        (ssrs/simulator.py:347,360-381) with ZERO collectives: each
+        device advances its own cases, the host round-robin keeps every
+        queue fed, and per-case results are bit-identical to the
+        single-device driver (device placement does not change the
+        math). Complements agent sharding
+        (parallel.simulate_presence_sharded_compacting): shard agents
+        when one population must span chips, spread cases when the
+        sweep axis is the parallelism.
 
     Returns (presence int32 (C, nrow, ncol), steps int32 (C,)).
     """
     n_cases = len(base_tables)
+    if devices:
+        dev_for = [devices[i % len(devices)] for i in range(n_cases)]
+        base_tables = [jax.device_put(base_tables[i], dev_for[i])
+                       for i in range(n_cases)]
+        keys = [jax.device_put(keys[i], dev_for[i])
+                for i in range(n_cases)]
+    else:
+        dev_for = None
     table = jnp.asarray(restriction_table())
+    # every array input of a jitted call must sit on the case's device
+    table_list = [table] * n_cases if dev_for is None else \
+        [jax.device_put(table, d) for d in dev_for]
     if dirps is None:
         shared_dirp = jnp.asarray(directional_probs(params.move_dirn))
         dirp_list = [shared_dirp] * n_cases
     else:
         dirp_list = [jnp.asarray(dirps[i]) for i in range(n_cases)]
+    if dev_for is not None:
+        dirp_list = [jax.device_put(dirp_list[i], dev_for[i])
+                     for i in range(n_cases)]
     min_bucket = _fused_quantize(params, True, min_bucket)
     quantum = _fused_quantum(params, True)
     if tail_bucket in (0, 'auto'):
@@ -1088,6 +1114,17 @@ def simulate_presence_cases_compacting(params: TrackParams, base_tables,
                     for i in range(n_cases)]
     else:
         prepared = [prepare_starts(params, start_rc, valid)] * n_cases
+    if dev_for is not None:
+        moved = {}
+        for i in range(n_cases):
+            ck = (id(prepared[i][0]), dev_for[i])
+            if ck not in moved:
+                s, v = prepared[i]
+                moved[ck] = (jax.device_put(s, dev_for[i]),
+                             None if v is None
+                             else jax.device_put(v, dev_for[i]))
+            prepared = list(prepared)
+            prepared[i] = moved[ck]
 
     states = {}
     for i in range(n_cases):
@@ -1105,12 +1142,12 @@ def simulate_presence_cases_compacting(params: TrackParams, base_tables,
             cur = states[i].pos_r.shape[0]
             if tail_switch > 0 and cur <= tail_switch:
                 st, _ = _run_tail(params, base_tables[i], dirp_list[i],
-                                  table, states[i], chunk)
+                                  table_list[i], states[i], chunk)
                 presence[i] = _presence_out(params, st.presence)
                 steps[i] = st.step  # tail flushed internally
                 continue
             st, n_alive_dev = _run_chunk(params, base_tables[i],
-                                         dirp_list[i], table,
+                                         dirp_list[i], table_list[i],
                                          states[i], chunk)
             states[i] = st
             steps_done[i] += chunk
@@ -1129,5 +1166,12 @@ def simulate_presence_cases_compacting(params: TrackParams, base_tables,
                 if m < cur:
                     states[i] = _compact(params, states[i], m)
             active.append(i)
+    if dev_for is not None:
+        # gather per-case results onto one device before stacking
+        # (jnp.stack refuses mixed committed placements)
+        presence = {i: jax.device_put(presence[i], devices[0])
+                    for i in presence}
+        steps = {i: jax.device_put(steps[i], devices[0])
+                 for i in steps}
     return (jnp.stack([presence[i] for i in range(n_cases)]),
             jnp.stack([steps[i] for i in range(n_cases)]))

@@ -254,10 +254,17 @@ def _undo_predictor(block: np.ndarray, predictor: int, dtype: np.dtype,
     raise TiffFormatError(f'unsupported TIFF predictor {predictor}')
 
 
-def read_tiff(fpath: str) -> TiffImage:
-    """Decode the first IFD of a TIFF/BigTIFF file."""
-    with open(fpath, 'rb') as fobj:
-        buf = fobj.read()
+def read_tiff(fpath) -> TiffImage:
+    """Decode the first IFD of a TIFF/BigTIFF file. Accepts a path,
+    raw ``bytes``, or a binary file-like object (the WMS client hands
+    response bodies over as BytesIO)."""
+    if isinstance(fpath, (bytes, bytearray)):
+        buf = bytes(fpath)
+    elif hasattr(fpath, 'read'):
+        buf = fpath.read()
+    else:
+        with open(fpath, 'rb') as fobj:
+            buf = fobj.read()
     if len(buf) < 8:
         raise TiffFormatError('file too small to be a TIFF')
     order = buf[:2]

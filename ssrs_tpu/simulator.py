@@ -543,9 +543,12 @@ class Simulator(PlottingMixin, Config):
         start_time = time.time()
         tail = self.track_tail_bucket
         tail = tail if tail == 'auto' else int(tail)
+        n_dev = (self.mesh_devices if self.mesh_devices > 0
+                 else len(jax.devices()))
+        devices = jax.devices()[:n_dev] if n_dev > 1 else None
         presence, steps = simulate_presence_cases_compacting(
             params, tables, np.asarray(starts), keys,
-            tail_bucket=tail)
+            tail_bucket=tail, devices=devices)
         presence = np.asarray(presence, dtype=np.int32)
         print(f'took {elapsed_str(start_time)}', flush=True)
         for i, (case_id, real_id, _, _) in enumerate(work):

@@ -125,6 +125,28 @@ def test_cases_compacting_matches_single(rng):
     assert p_multi[1, :, ncol // 2:].sum() > p_multi[1, :, :ncol // 2].sum()
 
 
+def test_cases_compacting_device_spread_bit_identical(rng):
+    """Case parallelism over devices (the TPU-native analog of the
+    reference's one-process-per-case pool): spreading cases over the
+    8-device mesh must be BIT-identical per case to the single-device
+    driver — placement does not change the math."""
+    params = _params(nsteps=400)
+    tables, dirps = _drift_field_tables(rng)
+    n = 600
+    starts = np.stack([rng.integers(20, 28, n), rng.integers(24, 32, n)],
+                      axis=1).astype(np.int32)
+    keys = jax.random.split(jax.random.key(5), 2)
+    kw = dict(dirps=jnp.asarray(dirps), chunk=64, min_bucket=128)
+    p_one, s_one = simulate_presence_cases_compacting(
+        params, tables, starts, list(keys), **kw)
+    p_spread, s_spread = simulate_presence_cases_compacting(
+        params, tables, starts, list(keys), devices=jax.devices(), **kw)
+    np.testing.assert_array_equal(np.asarray(p_one),
+                                  np.asarray(p_spread))
+    np.testing.assert_array_equal(np.asarray(s_one),
+                                  np.asarray(s_spread))
+
+
 def test_cases_compacting_statistics_match_vmapped(rng):
     """Presence statistics from the compacting multi-case driver agree
     with the vmapped lockstep engine within sampling noise (different
