@@ -128,6 +128,67 @@ def bench_sharded(jax, n_dev, rehearse, chunk=512):
             'per_chip_steps_per_sec': round(steps_per_sec / n_dev, 1)}
 
 
+def bench_cases_spread(jax, n_dev, rehearse, chunk=512):
+    """C = n_dev cases, one per device, through the interleaved
+    multi-case compacting driver with devices= (zero collectives)."""
+    import numpy as np
+    from bench import synthetic_dem
+    from ssrs_tpu.agents import (TrackParams, directional_probs,
+                                 get_starting_indices, prepared_weights,
+                                 simulate_presence_cases_compacting)
+    from ssrs_tpu.fields import (get_above_threshold_speed,
+                                 orographic_updraft_from_dem)
+    from ssrs_tpu.potential import solve_potential_refined
+    from ssrs_tpu.potential.boundary import boundary_masks
+    import jax.numpy as jnp
+
+    if rehearse:
+        nrow, ncol, res = 120, 144, 100.0
+        n_tracks, cap = 2048, 512
+    else:
+        nrow, ncol, res = 500, 600, 100.0
+        n_tracks, cap = 100_000, 10_000
+    dem = jnp.asarray(synthetic_dem(nrow, ncol, res))
+    dirp = jnp.asarray(directional_probs(0.))
+    params = TrackParams(grid_shape=(nrow, ncol), move_dirn=0., nu=1.,
+                         memory_k=1, burnin=int(min(nrow, ncol) / 10),
+                         nsteps=cap, weight_dtype='bfloat16')
+    rng = np.random.default_rng(1)
+    tables = []
+    for i in range(n_dev):
+        dirn = float(rng.uniform(180., 360.))
+        w = orographic_updraft_from_dem(
+            dem, res, 10. * jnp.ones((nrow, ncol), jnp.float32),
+            dirn * jnp.ones((nrow, ncol), jnp.float32))
+        cond = get_above_threshold_speed(w, 0.75)
+        bmask, bvals = boundary_masks(0., (nrow, ncol))
+        pot, _ = solve_potential_refined(np.asarray(cond), bmask, bvals)
+        tables.append(prepared_weights(cond, jnp.asarray(np.asarray(pot)),
+                                       dirp, 'bfloat16'))
+    rows, cols = get_starting_indices(
+        n_tracks, [2., ncol * res / 1000. - 2., 1., 2.], 'random',
+        (ncol * res / 1000., nrow * res / 1000.), res,
+        rng=np.random.default_rng(3))
+    starts = np.stack([rows, cols], axis=1).astype(np.int32)
+    devices = jax.devices()[:n_dev]
+
+    def run(seed):
+        keys = list(jax.random.split(jax.random.key(seed), n_dev))
+        p, s = simulate_presence_cases_compacting(
+            params, tables, starts, keys, chunk=chunk, devices=devices)
+        return np.asarray(p)
+
+    run(0)
+    t0 = time.perf_counter()
+    p = run(1)
+    dt = time.perf_counter() - t0
+    total = int(p.astype(np.int64).sum())
+    steps = total - n_dev * n_tracks
+    return {'cases': n_dev, 'n_dev': n_dev, 'seconds': round(dt, 3),
+            'agent_steps': steps,
+            'per_chip_steps_per_sec': round(steps / dt / n_dev, 1)}
+
+
 def solve_sharded(jax, n_dev, rehearse):
     import numpy as np
     from ssrs_tpu.parallel.fields import (make_field_mesh,
@@ -192,7 +253,16 @@ def main():
         report['weak_efficiency'] = round(
             sweep[-1]['per_chip_steps_per_sec'] / base, 3)
 
-    # 3: row-sharded large solve
+    # 3: case parallelism — C cases spread over the devices (zero
+    # collectives; the seasonal production pattern on a pod)
+    r = bench_cases_spread(jax, n_max, args.rehearse)
+    print(f'#   case-spread: {r}', flush=True)
+    report['case_spread'] = r
+    if on_tpu and not args.rehearse:
+        assert (r['per_chip_steps_per_sec']
+                >= EXPECTED['per_chip_steps_per_sec_min']), r
+
+    # 4: row-sharded large solve
     r = solve_sharded(jax, n_max, args.rehearse)
     print(f'#   solve: {r}', flush=True)
     report['solve'] = r
