@@ -695,6 +695,27 @@ def _bucket_for(n_alive: int, min_bucket: int,
     return _round_up(m, quantum)
 
 
+def _norm_tail_bucket(tail_bucket, min_bucket: int) -> int:
+    """Normalize the ``tail_bucket`` knob shared by every compacting
+    driver (Config.track_tail_bucket is typed ``object`` and can arrive
+    from a run JSON): 0 or 'auto' -> switch at ``min_bucket``, negative
+    int -> never switch (-1), positive int -> that bucket floored at
+    ``min_bucket``. Anything else raises a clear ValueError instead of
+    an unrelated TypeError deep in a comparison."""
+    if tail_bucket == 'auto':
+        return min_bucket
+    if isinstance(tail_bucket, (int, np.integer)) \
+            and not isinstance(tail_bucket, bool):
+        tb = int(tail_bucket)
+        if tb == 0:
+            return min_bucket
+        return -1 if tb < 0 else max(min_bucket, tb)
+    raise ValueError(
+        "tail_bucket must be 'auto', 0 (switch at min_bucket), a "
+        'negative int (never switch), or a positive int bucket; got '
+        f'{tail_bucket!r}')
+
+
 @functools.partial(jax.jit, static_argnames=('params', 'm'))
 def _compact(params: TrackParams, state: SimState, m: int) -> SimState:
     """Pack alive agents to the front (stable) and truncate to bucket m.
@@ -970,8 +991,7 @@ def simulate_presence_compacting(params: TrackParams, start_rc,
     # off where bit-reproducibility from a seed matters (the Simulator
     # does); throughput-oriented drivers (bench.py, ensembles) opt in.
     auto_tail = tail_bucket == 'auto'
-    if auto_tail or tail_bucket == 0:
-        tail_bucket = min_bucket
+    tail_bucket = _norm_tail_bucket(tail_bucket, min_bucket)
     rtt = _dispatch_overhead() if auto_tail else 0.
     # per_slot persists across calls (min over all observed chunks for
     # this workload shape): a cold first call folds compile time into
@@ -1100,22 +1120,39 @@ def simulate_presence_cases_compacting(params: TrackParams, base_tables,
                      for i in range(n_cases)]
     min_bucket = _fused_quantize(params, True, min_bucket)
     quantum = _fused_quantum(params, True)
-    if tail_bucket in (0, 'auto'):
-        tail_switch = min_bucket
-    elif tail_bucket < 0:
-        tail_switch = -1
-    else:
-        tail_switch = max(min_bucket, int(tail_bucket))
+    tail_switch = _norm_tail_bucket(tail_bucket, min_bucket)
 
-    per_case_starts = (not isinstance(start_rc, (list, tuple))
-                       and np.ndim(start_rc) == 3)
+    # Per-case starts arrive as a (C, N, 2) array OR a list/tuple of C
+    # (N, 2) arrays (matching how base_tables/keys accept lists); shared
+    # starts are a single (N, 2) array (or nested list of [r, c] pairs,
+    # whose elements are 1-d — unambiguous).
+    if isinstance(start_rc, (list, tuple)) \
+            and all(np.ndim(s) == 2 for s in start_rc):
+        if len(start_rc) != n_cases:
+            raise ValueError(
+                f'per-case start_rc list has {len(start_rc)} entries '
+                f'for {n_cases} cases')
+        per_case_starts = True
+    else:
+        start_rc = np.asarray(start_rc)
+        if start_rc.ndim not in (2, 3):
+            raise ValueError(
+                'start_rc must be (N, 2) shared starts or (C, N, 2) '
+                f'per-case starts; got shape {start_rc.shape}')
+        per_case_starts = start_rc.ndim == 3
+        if per_case_starts and len(start_rc) != n_cases:
+            raise ValueError(
+                f'per-case start_rc has {len(start_rc)} entries for '
+                f'{n_cases} cases')
     if per_case_starts:
-        prepared = [prepare_starts(params, start_rc[i], valid)
+        prepared = [prepare_starts(params, np.asarray(start_rc[i]),
+                                   valid)
                     for i in range(n_cases)]
     else:
         prepared = [prepare_starts(params, start_rc, valid)] * n_cases
     if dev_for is not None:
         moved = {}
+        prepared = list(prepared)
         for i in range(n_cases):
             ck = (id(prepared[i][0]), dev_for[i])
             if ck not in moved:
@@ -1123,7 +1160,6 @@ def simulate_presence_cases_compacting(params: TrackParams, base_tables,
                 moved[ck] = (jax.device_put(s, dev_for[i]),
                              None if v is None
                              else jax.device_put(v, dev_for[i]))
-            prepared = list(prepared)
             prepared[i] = moved[ck]
 
     states = {}

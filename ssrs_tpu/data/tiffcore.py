@@ -20,10 +20,12 @@ GDAL actually emit for elevation data:
 - the GDAL_NODATA ASCII tag (42113).
 
 There is deliberately NO decompression-bomb heuristic: the only limit
-is ``SSRS_TIFF_MAX_PIXELS`` (env, default 2e9 pixels ~ 8 GB of f32),
-checked against the DECLARED dimensions before any allocation, so a
-corrupt header cannot trigger an absurd allocation while a legitimate
-60x80 km 1/3-arcsec mosaic (~ 2.6e8 pixels) decodes without ceremony.
+is ``SSRS_TIFF_MAX_PIXELS`` (env, default 2e9 pixels; the allocation
+bound is that many pixels of f32, ~ 8 GB, scaled by the declared
+samples-per-pixel and sample size), checked against the DECLARED
+dimensions before any allocation, so a corrupt header cannot trigger
+an absurd allocation while a legitimate 60x80 km 1/3-arcsec mosaic
+(~ 2.6e8 pixels) decodes without ceremony.
 
 Writing stays in geotiff.py (Pillow emits well-formed single-band
 float32 strips, and round-trip tests pin byte-level compatibility).
@@ -92,10 +94,14 @@ class TiffImage:
             else self.data[:, :, band - 1]
 
     def band_masked(self, band: int = 1) -> np.ndarray:
-        """Band with GDAL nodata cells replaced by NaN (float output)."""
+        """Band with GDAL nodata cells replaced by NaN (float output).
+
+        Matching is exact value equality (the GDAL/rasterio semantics):
+        a tolerance would mask legitimate cells near the sentinel, e.g.
+        real elevations within ~0.1 of -9999."""
         out = np.asarray(self.band(band), np.float64)
-        if self.nodata is not None:
-            out[np.isclose(out, self.nodata)] = np.nan
+        if self.nodata is not None and not np.isnan(self.nodata):
+            out[out == self.nodata] = np.nan
         return out
 
 
@@ -228,30 +234,26 @@ def _decompress(raw: bytes, compression: int, expected: int) -> bytes:
         'LZW, Deflate, PackBits)')
 
 
-def _undo_predictor(block: np.ndarray, predictor: int, dtype: np.dtype,
-                    samples: int) -> np.ndarray:
-    """block: (rows, cols*samples*itemsize) uint8 for predictor 3, or
-    (rows, cols, samples)-shaped native array for predictor 2."""
-    if predictor == 2:
-        return np.cumsum(block, axis=1, dtype=block.dtype)
-    if predictor == 3:
-        # floating-point predictor (GDAL/libtiff): each row was split
-        # into itemsize byte-planes ordered most-significant first,
-        # then byte-wise horizontally differenced
-        rows, rowbytes = block.shape
-        itemsize = dtype.itemsize
-        w = rowbytes // itemsize          # cols * samples
-        acc = np.cumsum(block.astype(np.uint8), axis=1,
-                        dtype=np.uint8)   # wraparound addition
-        planes = acc.reshape(rows, itemsize, w)
-        # plane 0 holds the MOST significant byte; rebuild big-endian
-        # sample bytes then reinterpret
-        interleaved = np.ascontiguousarray(
-            np.transpose(planes, (0, 2, 1)))  # (rows, w, itemsize)
-        be = np.dtype(dtype).newbyteorder('>')
-        return interleaved.reshape(rows, w * itemsize) \
-            .view(np.uint8).reshape(rows, -1).tobytes(), be, w
-    raise TiffFormatError(f'unsupported TIFF predictor {predictor}')
+def _undo_fp_predictor(arr8: np.ndarray, dtype: np.dtype,
+                       samples: int) -> np.ndarray:
+    """Undo the floating-point predictor (3, GDAL/libtiff): each row was
+    split into itemsize byte-planes ordered most-significant first, then
+    byte-wise horizontally differenced. ``arr8`` is the decoded block as
+    (rows, cols*samples*itemsize) uint8; returns the reconstructed
+    (rows, cols, samples) array in big-endian sample order."""
+    rows, rowbytes = arr8.shape
+    itemsize = np.dtype(dtype).itemsize
+    w = rowbytes // itemsize          # cols * samples
+    acc = np.cumsum(arr8.astype(np.uint8), axis=1,
+                    dtype=np.uint8)   # wraparound addition
+    planes = acc.reshape(rows, itemsize, w)
+    # plane 0 holds the MOST significant byte; rebuild big-endian
+    # sample bytes then reinterpret
+    interleaved = np.ascontiguousarray(
+        np.transpose(planes, (0, 2, 1)))  # (rows, w, itemsize)
+    be = np.dtype(dtype).newbyteorder('>')
+    return np.frombuffer(interleaved.tobytes(), be) \
+        .reshape(rows, w // samples, samples)
 
 
 def read_tiff(fpath) -> TiffImage:
@@ -292,15 +294,20 @@ def read_tiff(fpath) -> TiffImage:
     length = int(_tag1(tags, IMAGE_LENGTH, 0))
     if width <= 0 or length <= 0:
         raise TiffFormatError('missing image dimensions')
-    if width * length > _max_pixels():
-        raise TiffFormatError(
-            f'image {width}x{length} exceeds SSRS_TIFF_MAX_PIXELS='
-            f'{_max_pixels()} (raise the env var for larger mosaics)')
     samples = int(_tag1(tags, SAMPLES_PER_PIXEL, 1))
     bits_all = _tag(tags, BITS_PER_SAMPLE, (1,))
     if len(set(bits_all)) != 1:
         raise TiffFormatError('mixed per-band bit depths unsupported')
     bits = int(bits_all[0])
+    # Allocation bound: cap the OUTPUT BYTES, not just pixels — a crafted
+    # header with huge SamplesPerPixel or f64 samples must not sneak past
+    # a pixel-only check (cap = max_pixels worth of f32, ~8 GB default).
+    if width * length * max(samples, 1) * max(bits // 8, 1) \
+            > _max_pixels() * 4:
+        raise TiffFormatError(
+            f'image {width}x{length}x{samples} ({bits}-bit) exceeds '
+            f'SSRS_TIFF_MAX_PIXELS={_max_pixels()} worth of f32 '
+            '(raise the env var for larger mosaics)')
     sfmt_all = _tag(tags, SAMPLE_FORMAT, (1,))
     sfmt = int(sfmt_all[0])
     compression = int(_tag1(tags, COMPRESSION, 1))
@@ -331,16 +338,25 @@ def read_tiff(fpath) -> TiffImage:
         counts = _tag(tags, STRIP_BYTE_COUNTS)
         if offsets is None:
             raise TiffFormatError('no strip/tile offsets')
-        if counts is None:
-            # uncompressed with implicit counts
-            counts = tuple(
-                min(tl, length - i * tl) * width * samples * bits // 8
-                for i in range(len(offsets)))
         across, down = 1, -(-length // tl)
         per_plane = down
 
     nplanes = samples if planar == 2 else 1
     chunk_samples = samples if planar == 1 else 1
+    if counts is None:
+        # Implicit byte counts are only well-defined for uncompressed
+        # strips. Strip i within EACH plane covers the same row range,
+        # so index modulo per_plane (PlanarConfig=2 repeats the strip
+        # ladder once per band), and a plane chunk carries
+        # chunk_samples (=1 when planar) samples per pixel.
+        if tiled or compression != 1:
+            raise TiffFormatError(
+                'missing strip/tile byte counts for a compressed or '
+                'tiled image')
+        counts = tuple(
+            min(tl, length - (i % per_plane) * tl)
+            * width * chunk_samples * bits // 8
+            for i in range(len(offsets)))
     if len(offsets) < per_plane * nplanes:
         raise TiffFormatError('offset table shorter than the tile grid')
 
@@ -367,18 +383,15 @@ def read_tiff(fpath) -> TiffImage:
                 arr8 = np.frombuffer(
                     decoded[:block_rows * rowbytes],
                     np.uint8).reshape(block_rows, rowbytes)
-                raw_be, be, wsamp = _undo_predictor(
-                    arr8, 3, dtype, chunk_samples)
-                block = np.frombuffer(raw_be, be).reshape(
-                    block_rows, block_cols, chunk_samples)
+                block = _undo_fp_predictor(arr8, dtype, chunk_samples)
             else:
                 block = np.frombuffer(
                     decoded[:block_rows * block_cols * chunk_samples
                             * itemsize],
                     dtype).reshape(block_rows, block_cols, chunk_samples)
                 if predictor == 2:
-                    block = _undo_predictor(block, 2, dtype,
-                                            chunk_samples)
+                    # horizontal differencing: integrate along the row
+                    block = np.cumsum(block, axis=1, dtype=block.dtype)
                 elif predictor != 1:
                     raise TiffFormatError(
                         f'unsupported TIFF predictor {predictor}')

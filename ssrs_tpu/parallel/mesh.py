@@ -24,7 +24,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..agents.simulate import (SimState, TrackParams, _bucket_for,
-                               _compact, _fused_quantum, _prologue_jit,
+                               _compact, _fused_quantum,
+                               _norm_tail_bucket, _prologue_jit,
                                _run_chunk, _run_tail, directional_probs,
                                flush_pending, init_state,
                                prepared_weights, restriction_table,
@@ -289,12 +290,7 @@ def simulate_presence_sharded_compacting(
     starts, valid = pad_to_multiple(np.asarray(start_rc, np.int32),
                                     n_dev * quantum)
     min_bucket = ((min_bucket + quantum - 1) // quantum) * quantum
-    if tail_bucket in (0, 'auto'):
-        tail_switch = min_bucket
-    elif not isinstance(tail_bucket, int) or tail_bucket < 0:
-        tail_switch = -1
-    else:
-        tail_switch = max(min_bucket, int(tail_bucket))
+    tail_switch = _norm_tail_bucket(tail_bucket, min_bucket)
 
     dirp = jnp.asarray(directional_probs(params.move_dirn))
     table = jnp.asarray(restriction_table())

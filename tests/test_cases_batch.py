@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ssrs_tpu.agents import (TrackParams, directional_probs,
                              prepared_weights, simulate_presence,
@@ -145,6 +146,55 @@ def test_cases_compacting_device_spread_bit_identical(rng):
                                   np.asarray(p_spread))
     np.testing.assert_array_equal(np.asarray(s_one),
                                   np.asarray(s_spread))
+
+
+def test_cases_compacting_per_case_starts(rng):
+    """Per-case starts as a (C, N, 2) array AND as a list of (N, 2)
+    arrays both route to the per-case path, agree with each other, and
+    reproduce the single-case driver per case."""
+    params = _params(nsteps=300)
+    tables, dirps = _drift_field_tables(rng)
+    n = 400
+    s0 = np.stack([rng.integers(20, 28, n), rng.integers(24, 32, n)],
+                  axis=1).astype(np.int32)
+    s1 = np.stack([rng.integers(8, 16, n), rng.integers(10, 20, n)],
+                  axis=1).astype(np.int32)
+    keys = jax.random.split(jax.random.key(9), 2)
+    kw = dict(dirps=jnp.asarray(dirps), chunk=64, min_bucket=128)
+    p_arr, _ = simulate_presence_cases_compacting(
+        params, tables, np.stack([s0, s1]), list(keys), **kw)
+    p_list, _ = simulate_presence_cases_compacting(
+        params, tables, [s0, s1], list(keys), **kw)
+    np.testing.assert_array_equal(np.asarray(p_arr), np.asarray(p_list))
+    for i, s in enumerate((s0, s1)):
+        p_one, _ = simulate_presence_compacting(
+            params, s, keys[i], base_flat=tables[i],
+            dirp=jnp.asarray(dirps[i]), chunk=64, min_bucket=128)
+        np.testing.assert_array_equal(np.asarray(p_arr)[i],
+                                      np.asarray(p_one))
+
+
+def test_compacting_knob_validation(rng):
+    """Bad tail_bucket values and mismatched per-case starts raise clear
+    ValueErrors, not TypeErrors deep in a comparison or broadcast."""
+    params = _params(nsteps=50)
+    tables, dirps = _drift_field_tables(rng)
+    starts = np.stack([rng.integers(20, 28, 64),
+                       rng.integers(24, 32, 64)],
+                      axis=1).astype(np.int32)
+    keys = jax.random.split(jax.random.key(1), 2)
+    with pytest.raises(ValueError, match='tail_bucket'):
+        simulate_presence_cases_compacting(
+            params, tables, starts, list(keys),
+            dirps=jnp.asarray(dirps), tail_bucket='never')
+    with pytest.raises(ValueError, match='tail_bucket'):
+        simulate_presence_compacting(
+            params, starts, keys[0], base_flat=tables[0],
+            dirp=jnp.asarray(dirps[0]), tail_bucket='sometimes')
+    with pytest.raises(ValueError, match='per-case'):
+        simulate_presence_cases_compacting(
+            params, tables, [starts], list(keys),
+            dirps=jnp.asarray(dirps))
 
 
 def test_cases_compacting_statistics_match_vmapped(rng):
