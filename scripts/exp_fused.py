@@ -123,7 +123,8 @@ def make_fused_step(blk, oh_bits, hist_mode='sublanes', xla_hist=False,
             alive.astype(jnp.int32), palive, mem, u,
             nu=1., memory_k=K, grid_shape=(NROW, NCOL), blk=blk,
             oh_bits=oh_bits, hist_mode=hist_mode, hist_src=hist_src)
-        pres = pres + hist
+        if hist_mode != 'none':   # 'none' returns a tiny placeholder
+            pres = pres + hist
         if xla_hist:
             oh_r = ((new_r[:, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (1, NROW), 1)) & alive[:, None]

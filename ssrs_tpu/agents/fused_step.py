@@ -229,6 +229,19 @@ def fused_step_call(tabT: jax.Array, dirp: jax.Array, base: jax.Array,
         oh_dtype, acc_dtype = jnp.int8, jnp.int32
     else:
         oh_dtype, acc_dtype = jnp.bfloat16, jnp.float32
+    if hist_mode == 'none':
+        # no in-kernel histogram: a tile-sized placeholder keeps the
+        # kernel signature uniform without putting the (padded) grid in
+        # VMEM — this is what lets the fused cascade/sampler run on
+        # grids whose histogram could never fit (the caller accumulates
+        # presence outside, e.g. via an XLA scatter)
+        hist_shape = acc_shape = (8, 128)
+    else:
+        hist_shape = (nrow_p, ncol_p)
+        acc_shape = ((ncol_p, nrow_p)
+                     if (hist_mode.startswith('lanes')
+                         or hist_mode == 'buildsum')
+                     else (nrow_p, ncol_p))
 
     kern = functools.partial(
         _fused_kernel, nu=float(nu), memory_k=memory_k,
@@ -260,19 +273,16 @@ def fused_step_call(tabT: jax.Array, dirp: jax.Array, base: jax.Array,
             vec(), vec(),
             pl.BlockSpec((k_eff, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow_p, ncol_p), lambda i: (0, 0),
+            pl.BlockSpec(hist_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n,), jnp.int32),
             jax.ShapeDtypeStruct((n,), jnp.int32),
             jax.ShapeDtypeStruct((k_eff, n), jnp.int32),
-            jax.ShapeDtypeStruct((nrow_p, ncol_p), jnp.int32),
+            jax.ShapeDtypeStruct(hist_shape, jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM(
-            (ncol_p, nrow_p) if (hist_mode.startswith('lanes')
-                                 or hist_mode == 'buildsum')
-            else (nrow_p, ncol_p), acc_dtype)],
+        scratch_shapes=[pltpu.VMEM(acc_shape, acc_dtype)],
         interpret=interpret,
     )(tabT, dirp, base, pr, pc, r, c, alive_i32, palive_i32, mem, u)
     return new_r, new_c, new_mem, hist

@@ -37,12 +37,18 @@ Step engines (``TrackParams.step_impl``):
   (``agents/fused_step.py``); only the table gather stays in XLA (its
   ~2 ns/row is an issue-rate floor a Pallas kernel cannot beat — Mosaic
   has no per-lane dynamic VMEM gather). Measured 1.43x the XLA step at a
-  98k bucket on v5e (404 vs 578 us/step; scripts/exp_fused.py).
+  98k bucket on v5e (404 vs 578 us/step; scripts/exp_fused.py). On
+  grids whose padded histogram exceeds the VMEM accumulator budget the
+  same kernel runs in the HYBRID regime — in-kernel histogram disabled,
+  presence accumulated outside by the ``presence_impl`` policy (scatter
+  at large grids). Measured 1.05x the pure-XLA step at 2048^2 where
+  both are gather+scatter issue-rate bound (scripts/exp_fused_large.py,
+  docs/DESIGN.md "the large-grid step anatomy").
 - ``'xla'``: pure-XLA step (one-hot MXU matmul or scatter presence,
-  ``presence_impl``); used on CPU (tests, the multichip dryrun), for
-  grids whose histogram accumulator exceeds VMEM, and for DRW mode.
-- ``'auto'``: fused when on TPU, fluidflow (a weight table exists), and
-  the padded grid fits the VMEM accumulator budget; else xla.
+  ``presence_impl``); used on CPU (tests, the multichip dryrun) and for
+  DRW mode.
+- ``'auto'``: fused/hybrid when on TPU and fluidflow (a weight table
+  exists); else xla.
 """
 
 from __future__ import annotations
@@ -113,16 +119,19 @@ def _fused_fits(params: TrackParams) -> bool:
 def resolve_step_impl(params: TrackParams, has_table: bool) -> str:
     impl = params.step_impl
     if impl == 'auto':
-        if (has_table and jax.default_backend() == 'tpu'
-                and _fused_fits(params)):
+        if has_table and jax.default_backend() == 'tpu':
+            # grids past the VMEM budget run the hybrid regime (fused
+            # cascade/sampler + external histogram) — measured 1.05x
+            # the pure-XLA step at 2048^2 and ~4x faster to compile
+            # (scripts/exp_fused_large.py)
             return 'fused'
         return 'xla'
     if impl in ('fused', 'fused-interpret'):
         if not has_table:
             return 'xla'   # DRW mode has no weight table
-        if not _fused_fits(params):
-            raise ValueError('fused step: grid too large for the VMEM '
-                             'histogram accumulator; use step_impl=xla')
+        # grids whose histogram exceeds the VMEM accumulator run the
+        # fused cascade/sampler with the presence scatter outside the
+        # kernel (the hybrid regime, handled in _make_fused_step)
     return impl
 
 
@@ -295,8 +304,30 @@ def _make_fused_step(params: TrackParams, base_flat: jax.Array,
                      interpret: bool = False):
     from .fused_step import fused_step_call
     nrow, ncol = params.grid_shape
+    nrow_p, ncol_p = params.padded_grid
     tabT = jnp.asarray(table).T.astype(jnp.float32)
     dirp_col = jnp.asarray(dirp)[:, None].astype(jnp.float32)
+    # presence placement: in-kernel VMEM histogram when the padded grid
+    # fits the accumulator budget, otherwise an XLA scatter of the same
+    # delayed (carried-position, previous-alive) pairs OUTSIDE the
+    # kernel — the fused cascade/sampler then runs on any grid size
+    # (the hybrid regime; docs/DESIGN.md "Round 4: the fused step at
+    # large grids")
+    if params.presence_impl == 'none':
+        hist_mode = 'none'
+        ext_hist = False
+    elif _fused_fits(params):
+        hist_mode = 'lanes'
+        ext_hist = False
+    else:
+        hist_mode = 'none'
+        ext_hist = True
+    # the external histogram follows the same policy as the XLA step /
+    # flush_pending: one-hot matmul for small grids, scatter beyond
+    # (the matmul's MACs scale with grid AREA x agents — measured dead
+    # end at 2048^2, scripts/exp_fused_large.py)
+    ext_matmul = (params.presence_impl in ('auto', 'matmul')
+                  and sum(params.grid_shape) <= 4096)
 
     def step(state: SimState, u: Optional[jax.Array] = None) -> SimState:
         n = state.pos_r.shape[0]
@@ -313,12 +344,18 @@ def _make_fused_step(params: TrackParams, base_flat: jax.Array,
             u.astype(jnp.float32),
             nu=params.nu, memory_k=params.memory_k,
             grid_shape=(nrow, ncol), blk=FUSED_BLK, oh_bits=8,
-            hist_mode=('none' if params.presence_impl == 'none'
-                       else 'lanes'),
-            hist_src='cur', interpret=interpret)
+            hist_mode=hist_mode, hist_src='cur', interpret=interpret)
+        if hist_mode == 'none':
+            presence = state.presence
+            if ext_hist:
+                presence = presence + _hist_padded(
+                    state.pos_r, state.pos_c, state.palive,
+                    nrow_p, ncol_p, use_matmul=ext_matmul)
+        else:
+            presence = state.presence + hist
         return SimState(pos_r=new_r, pos_c=new_c, mem=new_mem,
                         alive=alive, palive=alive.astype(jnp.int32),
-                        key=key, presence=state.presence + hist,
+                        key=key, presence=presence,
                         step=state.step + 1)
 
     return step

@@ -209,6 +209,46 @@ def test_fused_interpret_odd_size_falls_back_to_xla(rng):
     np.testing.assert_array_equal(np.asarray(p_f), np.asarray(p_x))
 
 
+@pytest.mark.parametrize('grid,expected_matmul', [
+    ((640, 1024), True),    # hybrid, small-sum grid -> matmul histogram
+    ((8, 4224), False),     # hybrid, nrow+ncol > 4096 -> scatter
+])
+def test_fused_hybrid_large_grid_bit_exact(rng, grid, expected_matmul):
+    """Grids whose padded histogram exceeds the VMEM budget run the
+    HYBRID regime: fused cascade/sampler with hist_mode='none' (tiny
+    placeholder output) + the presence_impl-policy histogram outside the
+    kernel. Must stay bit-exact against the XLA step."""
+    from ssrs_tpu.agents.simulate import _fused_fits
+    nrow, ncol = grid
+    pf = _params(k=1)._replace(grid_shape=grid)
+    assert not _fused_fits(pf)
+    assert ((pf.presence_impl in ('auto', 'matmul')
+             and nrow + ncol <= 4096) == expected_matmul)
+    px = pf._replace(step_impl='xla')
+    up = (0.5 + rng.random(grid)).astype(np.float32)
+    pot = (np.linspace(1000., 0., nrow)[:, None]
+           * np.ones((1, ncol), np.float32))
+    starts = np.stack([rng.integers(2, max(3, nrow - 2), N),
+                       rng.integers(2, ncol - 2, N)],
+                      axis=1).astype(np.int32)
+    step_f = _table_and_step(pf, up, pot)
+    step_x = _table_and_step(px, up, pot)
+    sf = init_state(pf, starts, jax.random.key(0))
+    sx = init_state(px, starts, jax.random.key(0))
+    for _ in range(8):
+        u = jnp.asarray(rng.random(N).astype(np.float32))
+        sf = step_f(sf, u=u)
+        sx = step_x(sx, u=u)
+    sf = flush_pending(pf, sf)
+    sx = flush_pending(px, sx)
+    np.testing.assert_array_equal(np.asarray(sf.pos_r),
+                                  np.asarray(sx.pos_r))
+    np.testing.assert_array_equal(np.asarray(sf.pos_c),
+                                  np.asarray(sx.pos_c))
+    np.testing.assert_array_equal(np.asarray(sf.presence),
+                                  np.asarray(sx.presence))
+
+
 def test_unknown_presence_impl_raises(rng):
     """Pruned/typo presence_impl values must raise, not silently run the
     scatter path under the wrong label."""
