@@ -248,6 +248,15 @@ def fused_step_call(tabT: jax.Array, dirp: jax.Array, base: jax.Array,
         nrow_p=nrow_p, ncol_p=ncol_p, oh_dtype=oh_dtype,
         hist_mode=hist_mode, hist_src=hist_src)
 
+    # inside a shard_map body (real TPU meshes: the sharded drivers now
+    # resolve to this kernel) outputs must declare which mesh axes they
+    # vary over; take the union of the operand vmas (agent-axis operands
+    # carry the mesh axis, the replicated tables carry none). Outside
+    # shard_map every vma is empty and this is a no-op.
+    vma = frozenset()
+    for op in (base, pr, pc, r, c, alive_i32, palive_i32, mem, u):
+        vma |= getattr(jax.typeof(op), 'vma', frozenset())
+
     def vec():
         return pl.BlockSpec((blk,), lambda i: (i,),
                             memory_space=pltpu.VMEM)
@@ -277,10 +286,10 @@ def fused_step_call(tabT: jax.Array, dirp: jax.Array, base: jax.Array,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((k_eff, n), jnp.int32),
-            jax.ShapeDtypeStruct(hist_shape, jnp.int32),
+            jax.ShapeDtypeStruct((n,), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((n,), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((k_eff, n), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct(hist_shape, jnp.int32, vma=vma),
         ),
         scratch_shapes=[pltpu.VMEM(acc_shape, acc_dtype)],
         interpret=interpret,

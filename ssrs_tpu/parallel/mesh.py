@@ -32,6 +32,17 @@ from ..agents.simulate import (SimState, TrackParams, _bucket_for,
                                simulate_presence)
 
 
+def _check_vma(params: TrackParams) -> bool:
+    """shard_map's varying-manual-axes check stays ON everywhere except
+    the interpret-mode fused kernel (the CPU rehearsal of the
+    Pallas-under-shard_map seam): the HLO interpreter re-traces the
+    kernel BODY under vma semantics, where kernel-internal iota/zeros
+    are unvarying by construction. The compiled Mosaic path only checks
+    the pallas_call boundary, whose out_shape vmas are declared
+    (fused_step.py)."""
+    return params.step_impl != 'fused-interpret'
+
+
 def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
     """1-D mesh over the ``'agents'`` axis. ``n_devices`` <= 0 uses all
     local devices."""
@@ -88,7 +99,8 @@ def sharded_presence_fn(params: TrackParams, mesh: Mesh,
     in_specs = [P('agents'), P('agents'), P()]
     in_specs += [P(None, None)] * (int(has_updraft) + int(has_potential))
     return jax.shard_map(shard_body, mesh=mesh, in_specs=tuple(in_specs),
-                         out_specs=(P(), P()))
+                         out_specs=(P(), P()),
+                         check_vma=_check_vma(params))
 
 
 def simulate_presence_sharded(params: TrackParams,
@@ -177,7 +189,8 @@ def _init_sharded_fn(params: TrackParams, mesh: Mesh):
 
     mapped = jax.shard_map(body, mesh=mesh,
                            in_specs=(P('agents'), P('agents'), P()),
-                           out_specs=_state_specs())
+                           out_specs=_state_specs(),
+                           check_vma=_check_vma(params))
     return jax.jit(mapped)
 
 
@@ -202,7 +215,8 @@ def _round_sharded_fn(params: TrackParams, mesh: Mesh, chunk: int,
                 *((P(None, None),) if has_table else ()),
                 P(None), P(None, None))
     mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                           out_specs=(_state_specs(), P()))
+                           out_specs=(_state_specs(), P()),
+                           check_vma=_check_vma(params))
     return jax.jit(mapped)
 
 
@@ -220,7 +234,8 @@ def _compact_sharded_fn(params: TrackParams, mesh: Mesh, m: int):
 
     mapped = jax.shard_map(body, mesh=mesh,
                            in_specs=(_state_specs(), P()),
-                           out_specs=_state_specs())
+                           out_specs=_state_specs(),
+                           check_vma=_check_vma(params))
     return jax.jit(mapped)
 
 
@@ -244,7 +259,8 @@ def _tail_sharded_fn(params: TrackParams, mesh: Mesh, chunk: int,
                 *((P(None, None),) if has_table else ()),
                 P(None), P(None, None))
     mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                           out_specs=(P(), P()))
+                           out_specs=(P(), P()),
+                           check_vma=_check_vma(params))
     return jax.jit(mapped)
 
 
@@ -258,7 +274,8 @@ def _finalize_sharded_fn(params: TrackParams, mesh: Mesh):
 
     mapped = jax.shard_map(body, mesh=mesh,
                            in_specs=(_state_specs(), P()),
-                           out_specs=(P(), P()))
+                           out_specs=(P(), P()),
+                           check_vma=_check_vma(params))
     return jax.jit(mapped)
 
 
