@@ -301,6 +301,17 @@ class Simulator(PlottingMixin, Config):
     def get_directional_potential(self, updraft, case_id, real_id):
         """Cached directional-potential solve
         (ssrs/simulator.py:259-288)."""
+        return self.finish_directional_potential(
+            self.begin_directional_potential(updraft, case_id, real_id))
+
+    def begin_directional_potential(self, updraft, case_id, real_id):
+        """Cache-check + ASYNC solve dispatch for one (case,
+        realization): returns an opaque handle for
+        :meth:`finish_directional_potential`. Splitting the solve lets
+        a multi-case prep loop overlap the host work of case *i+1*
+        (island labeling + tile-hierarchy build) and the device solve
+        of case *i* — the refined solve is a single async jit dispatch,
+        so nothing blocks until the residual is read at finish time."""
         fname = self._get_potential_fname(case_id, real_id,
                                           self.mode_data_dir)
         id_str = self._get_id_string(case_id, real_id)
@@ -311,17 +322,39 @@ class Simulator(PlottingMixin, Config):
             if (self.sim_seed < 0) and (real_id != 0):
                 raise FileNotFoundError
             print(f'{id_str}: Found saved potential')
+            return ('cached', potential, fname, id_str, 0.)
         except FileNotFoundError:
-            start_time = time.time()
-            print(f'{id_str}: Computing potential..', end='', flush=True)
-            potential = self._solve_potential(np.asarray(updraft))
-            print(f'took {elapsed_str(start_time)}', flush=True)
+            pass
+        start_time = time.time()
+        handle = self._begin_potential_solve(np.asarray(updraft))
+        return ('solve', handle, fname, id_str, start_time)
+
+    def finish_directional_potential(self, state) -> np.ndarray:
+        """Materialize a :meth:`begin_directional_potential` handle:
+        read the residual, apply the f64-fallback policy, save the
+        artifact. Under pipelining the printed wall includes the
+        overlapped device time (it is the same wall a serial caller
+        would have seen)."""
+        kind, payload, fname, id_str, start_time = state
+        if kind == 'cached':
+            potential = payload
+        else:
+            potential = self._finish_potential_solve(payload)
+            print(f'{id_str}: Computing potential..'
+                  f'took {elapsed_str(start_time)}', flush=True)
             np.save(f'{fname}.npy', potential.astype(np.float32))
         if np.isnan(potential).any():
             print('NANs found in potential!')
         return potential
 
     def _solve_potential(self, conductivity: np.ndarray) -> np.ndarray:
+        return self._finish_potential_solve(
+            self._begin_potential_solve(conductivity))
+
+    def _begin_potential_solve(self, conductivity: np.ndarray):
+        """Dispatch one potential solve. For the refined device solver
+        the return value holds UNMATERIALIZED device arrays (the jit
+        call is async); the host-side solvers compute synchronously."""
         solver = (self.potential_solver or 'auto').lower()
         if solver == 'auto':
             # the refined device solver matches the f64 direct answer to
@@ -331,8 +364,8 @@ class Simulator(PlottingMixin, Config):
             solver = 'refined'
         if solver in ('direct', 'dense'):
             from .potential.direct import solve_potential_direct
-            return solve_potential_direct(conductivity,
-                                          self.track_direction)
+            return ('done', solve_potential_direct(conductivity,
+                                                   self.track_direction))
         if solver in ('mg', 'multigrid'):
             from .potential import solve_potential_for_direction
             maxiter = self.potential_maxiter if self.potential_maxiter > 0 \
@@ -340,7 +373,7 @@ class Simulator(PlottingMixin, Config):
             pot, resid = solve_potential_for_direction(
                 conductivity, self.track_direction,
                 tol=self.potential_tol, maxiter=maxiter)
-            return np.asarray(pot)
+            return ('done', np.asarray(pot))
         from .potential import solve_potential_refined
         from .potential.boundary import boundary_masks
         bmask, bvals = boundary_masks(self.track_direction,
@@ -349,6 +382,15 @@ class Simulator(PlottingMixin, Config):
             else 60
         pot, resid = solve_potential_refined(
             conductivity, bmask, bvals, maxcycles=maxiter)
+        # pot/resid are unmaterialized device arrays: the solve runs
+        # while the caller dispatches the next case's prep (pipelining)
+        return ('refined', (conductivity, pot, resid))
+
+    def _finish_potential_solve(self, handle) -> np.ndarray:
+        kind, payload = handle
+        if kind == 'done':
+            return payload
+        conductivity, pot, resid = payload
         # SuperLU-parity safety net: the device solver reports its
         # D^-1-scaled relative residual honestly; normal exits are
         # <= ~1e-4 (6.5e-4 at 67M unknowns). No known field class
@@ -471,17 +513,39 @@ class Simulator(PlottingMixin, Config):
                 f'movement_model {self.movement_model!r} not '
                 "implemented; options: 'fluidflow', 'drw'")
 
-        # enumerate all (case, realization, fields) work items
+        # enumerate all (case, realization, fields) work items. The
+        # potential solves are PIPELINED: begin() dispatches the async
+        # device solve, so the host's island-labeling/tile-build for the
+        # next case overlaps it; finish() (residual read + fallback
+        # policy + artifact save) runs a bounded depth behind so at most
+        # `depth` unmaterialized potentials sit on device (large grids:
+        # one potential is nrow*ncol f32).
         work = []
+        pending = []
+        # pipeline depth: disabled past 4096^2 — the 8192^2 solve already
+        # runs within ~200 MB of the HBM ceiling (docs/DESIGN.md "COO
+        # deflation"), so parked potentials/conductivities must not
+        # accumulate there
+        depth = 3 if int(np.prod(self.gridsize)) <= 4096 * 4096 else 1
+
+        def _drain_one():
+            case_id, real_id, updraft, handle = pending.pop(0)
+            work.append((case_id, real_id, updraft,
+                         self.finish_directional_potential(handle)))
+
         for case_id in self.case_ids:
             updrafts = self.load_updrafts(case_id, apply_threshold=True)
             for real_id, updraft in enumerate(updrafts):
                 if self.movement_model == 'fluidflow':
-                    potential = self.get_directional_potential(
-                        updraft, case_id, real_id)
-                    work.append((case_id, real_id, updraft, potential))
+                    pending.append((case_id, real_id, updraft,
+                                    self.begin_directional_potential(
+                                        updraft, case_id, real_id)))
+                    if len(pending) >= depth:
+                        _drain_one()
                 else:
                     work.append((case_id, real_id, None, None))
+        while pending:
+            _drain_one()
 
         if not record and len(work) > 1:
             self._simulate_batched(params, starts, work)
