@@ -748,16 +748,26 @@ class Simulator(PlottingMixin, Config):
         starts = np.stack([starting_rows, starting_cols],
                           axis=1).astype(np.int32)
         params = self._track_params()
+        # pipelined prep, as in _simulate_tracks_impl (the sweep shares
+        # one wind speed, so every case hits the same solver executable)
         work = []
+        pending = []
         for case_id in new_cases:
             updraft = self.load_updrafts(case_id,
                                          apply_threshold=True)[0]
             if self.movement_model == 'fluidflow':
-                potential = self.get_directional_potential(updraft,
-                                                           case_id, 0)
-                work.append((case_id, 0, updraft, potential))
+                pending.append((case_id, updraft,
+                                self.begin_directional_potential(
+                                    updraft, case_id, 0)))
+                if len(pending) >= 3:
+                    cid, upd, h = pending.pop(0)
+                    work.append((cid, 0, upd,
+                                 self.finish_directional_potential(h)))
             else:
                 work.append((case_id, 0, None, None))
+        for cid, upd, h in pending:
+            work.append((cid, 0, upd,
+                         self.finish_directional_potential(h)))
         self._simulate_batched(params, starts, work)
         return new_cases
 
