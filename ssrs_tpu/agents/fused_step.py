@@ -22,7 +22,9 @@ step, per agent block:
 
 The table gather stays in XLA: a Pallas kernel cannot express a per-lane
 dynamic VMEM gather (Mosaic limitation, docs/DESIGN.md), and the XLA
-gather is already at its ~2 ns/row issue floor.
+gather already runs at its ~2 ns/row VMEM issue rate while the table
+fits the gather's VMEM budget (~6-8 MB; past it, a flat HBM-latency
+~15-20 ns/row — DESIGN.md "the gather is a VMEM-capacity story").
 
 Semantics are identical to the XLA step for the same per-agent uniforms
 (verified bit-exact in tests/test_fused_step.py); the sampled move index

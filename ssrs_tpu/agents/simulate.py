@@ -84,9 +84,14 @@ class TrackParams(NamedTuple):
     # 'float32' keeps move probabilities at the reference's working
     # precision (fidelity-first, like the deterministic tail_bucket
     # default); throughput drivers (bench.py, ensembles) opt into
-    # 'bfloat16', which halves the dominant per-step cost (the random
-    # 9-float gather) for ~0.4% relative weight quantization that the
-    # presence statistics absorb (verified in tests).
+    # 'bfloat16' (~0.4% relative weight quantization that the presence
+    # statistics absorb, verified in tests). The cost of f32 is grid-
+    # dependent and can be LARGE: the dominant per-step gather runs at
+    # ~2 ns/row only while the table fits its VMEM budget (~6-8 MB);
+    # past that it cliffs to a flat HBM-latency ~15-20 ns/row. At the
+    # 500x600 flagship, bf16 (5.4 MB) fits and f32 (10.8 MB) does not —
+    # measured ~10x on the gather (scripts/exp_gather_capacity.py,
+    # docs/DESIGN.md "the gather is a VMEM-capacity story").
     weight_dtype: str = 'float32'
     # presence accumulation for the XLA step: 'auto' = one-hot int8 MXU
     # matmul histogram for grids with nrow+ncol <= 4096 (exact, ~25%
