@@ -2,7 +2,8 @@
 
 from .boundary import boundary_masks, boundary_nodes
 from .direct import solve_potential_direct
-from .lap import solve_potential_refined, weight_planes
+from .lap import (solve_potential_refined,
+                  solve_potential_refined_batch, weight_planes)
 from .multigrid import solve_potential_mg
 from .solver import (solve_potential, solve_potential_for_direction,
                      transition_planes)
@@ -10,4 +11,5 @@ from .solver import (solve_potential, solve_potential_for_direction,
 __all__ = ['boundary_masks', 'boundary_nodes', 'solve_potential',
            'solve_potential_for_direction', 'transition_planes',
            'solve_potential_direct', 'solve_potential_mg',
-           'solve_potential_refined', 'weight_planes']
+           'solve_potential_refined', 'solve_potential_refined_batch',
+           'weight_planes']

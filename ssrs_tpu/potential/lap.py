@@ -499,10 +499,10 @@ def _build_tile_level(labels: np.ndarray):
     return lidx, slots, sidx, sisland, ocell, oisland
 
 
-def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
-                         min_size: int = 4) -> List[TileSeg]:
+def _build_tile_hierarchy_host(labels: np.ndarray, bmask: np.ndarray,
+                               min_size: int = 4) -> List[TileSeg]:
     """Host: per-level tile dictionaries for the whole V-cycle hierarchy
-    (one ``island_labels`` + one pass of numpy per solve)."""
+    (one ``island_labels`` + one pass of numpy per solve); numpy leaves."""
     out = []
     lab = np.asarray(labels, np.int32)
     bm = np.asarray(bmask, bool)
@@ -517,9 +517,53 @@ def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
         if min(lab.shape) <= min_size:
             break
         lab, bm = _host_coarsen_labels(lab, bm)
+    return out
+
+
+def build_tile_hierarchy(labels: np.ndarray, bmask: np.ndarray,
+                         min_size: int = 4) -> List[TileSeg]:
+    """Host: per-level tile dictionaries for the whole V-cycle hierarchy
+    (one ``island_labels`` + one pass of numpy per solve)."""
     # ONE batched device_put for the whole hierarchy: per-array
     # transfers each pay a tunnel round trip (~40 arrays per solve)
-    return jax.device_put(out)
+    return jax.device_put(_build_tile_hierarchy_host(labels, bmask,
+                                                     min_size))
+
+
+def _stack_tile_hierarchies(hiers: Sequence[List[TileSeg]]
+                            ) -> List[TileSeg]:
+    """Stack per-case hierarchies (same grid => same level count and
+    (T, C) shapes) into one batched hierarchy with a leading case axis,
+    padding the per-case quantized widths (dense Ld, routing S, COO O)
+    up to the per-level maxima. Zero padding is the SAME mechanism
+    ``_build_tile_level`` already uses inside one case: padded ``sidx``
+    entries route tile-0/slot-0 sums to island 0 (never used, callers
+    pin c[0] = 0), padded ``slots`` columns are matched by no cell and
+    are not in ``sidx``, padded ``ocell`` entries add c[0] == 0 to
+    cell 0."""
+    out = []
+    for segs in zip(*hiers):
+        Ld = max(s.slot_iota.shape[0] for s in segs)
+        S = max(s.sidx.shape[0] for s in segs)
+        O = max(s.ocell.shape[0] for s in segs)
+
+        def padw(a, w):
+            return np.pad(a, [(0, w - a.shape[0])] + [(0, 0)] *
+                          (a.ndim - 1))
+
+        out.append(TileSeg(
+            lidx=np.stack([s.lidx for s in segs]),
+            slots=np.stack([np.pad(s.slots,
+                                   ((0, 0), (0, Ld - s.slots.shape[1])))
+                            for s in segs]),
+            slot_iota=np.broadcast_to(np.arange(Ld, dtype=np.int16),
+                                      (len(segs), Ld)).copy(),
+            sidx=np.stack([padw(s.sidx, S) for s in segs]),
+            sisland=np.stack([padw(s.sisland, S) for s in segs]),
+            ocell=np.stack([padw(s.ocell, O) for s in segs]),
+            oisland=np.stack([padw(s.oisland, O) for s in segs]),
+            labels=np.stack([s.labels for s in segs])))
+    return out
 
 
 # ---- level hierarchy --------------------------------------------------------
@@ -890,13 +934,10 @@ def island_sound_mask(labels_np: np.ndarray, num: int) -> np.ndarray:
     return sound
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('maxcycles', 'refine', 'tol',
-                                    'num_segments', 'field_sharding'))
-def _solve_refined_jit(conductivity, bmask, bvals, tiles, sound,
-                       num_segments: int,
-                       tol: float, maxcycles: int, refine: int,
-                       field_sharding=None):
+def _solve_refined_core(conductivity, bmask, bvals, tiles, sound,
+                        num_segments: int,
+                        tol: float, maxcycles: int, refine: int,
+                        field_sharding=None):
     bmask = jnp.asarray(bmask, bool)
     bvals = jnp.asarray(bvals, jnp.float32)
     planes_t = weight_planes(conductivity)
@@ -1025,6 +1066,67 @@ def _solve_refined_jit(conductivity, bmask, bvals, tiles, sound,
     out = uds.hi + uds.lo
     out = jnp.where(bmask, bvals, out)
     return out.astype(jnp.float32), rn2 / scale
+
+
+_solve_refined_jit = functools.partial(
+    jax.jit, static_argnames=('maxcycles', 'refine', 'tol',
+                              'num_segments', 'field_sharding')
+)(_solve_refined_core)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('maxcycles', 'refine', 'tol',
+                                    'num_segments'))
+def _solve_refined_batch_jit(conductivity, bmask, bvals, tiles, sound,
+                             num_segments: int,
+                             tol: float, maxcycles: int, refine: int):
+    """vmap of the refined solve over a leading case axis: C cases
+    advance in ONE program, so the many small per-level ops that leave
+    the chip idle at small grids carry C cases' work each. bmask/bvals
+    are shared (one track direction); the per-case while_loops run to
+    the max over the batch with converged cases masked (standard vmap
+    batching of lax.while_loop), so results match the single-case solve
+    up to f32 reduction-order noise in the padded tile routing."""
+    def core(c, ts, sn):
+        return _solve_refined_core(c, bmask, bvals, ts, sn,
+                                   num_segments, tol, maxcycles, refine,
+                                   None)
+    return jax.vmap(core)(conductivity, tiles, sound)
+
+
+def solve_potential_refined_batch(conductivities, bmask, bvals,
+                                  tol: float = 1e-7,
+                                  maxcycles: int = 60, refine: int = 30):
+    """Batched multi-case refined solve: one vmapped program for C
+    conductivity fields sharing a grid and track direction. Returns
+    (potentials (C, nrow, ncol) f32 device array, residuals (C,)) —
+    both UNMATERIALIZED (async dispatch, like solve_potential_refined).
+
+    Why: at small-to-mid grids one solve is latency-bound — hundreds of
+    sequential small ops leave the MXU/VPU mostly idle (measured: 8
+    back-to-back 500x600 solves take 4.5 s device-serial while one
+    takes 0.5 s; scripts/exp_batch_solve_probe.py). Batching makes each
+    op C-wide. The per-case island buckets are padded to the batch
+    maxima (see _stack_tile_hierarchies); num_segments is the max
+    power-of-4 bucket across cases."""
+    conds = [np.asarray(c) for c in conductivities]
+    shape = conds[0].shape
+    assert all(c.shape == shape for c in conds)
+    bmask_np = np.asarray(bmask, bool)
+    labels = []
+    num = 256
+    for c in conds:
+        lab, k = island_labels(c, bmask_np)
+        labels.append(lab)
+        while num < k + 1:
+            num *= 4
+    hiers = [_build_tile_hierarchy_host(lab, bmask_np) for lab in labels]
+    tiles = jax.device_put(_stack_tile_hierarchies(hiers))
+    sound = np.stack([island_sound_mask(lab, num) for lab in labels])
+    return _solve_refined_batch_jit(
+        jnp.asarray(np.stack(conds), jnp.float32),
+        jnp.asarray(bmask_np), jnp.asarray(bvals, jnp.float32),
+        tiles, jnp.asarray(sound), num, tol, maxcycles, refine)
 
 
 def solve_potential_refined(conductivity, bmask, bvals, tol: float = 1e-7,

@@ -304,14 +304,8 @@ class Simulator(PlottingMixin, Config):
         return self.finish_directional_potential(
             self.begin_directional_potential(updraft, case_id, real_id))
 
-    def begin_directional_potential(self, updraft, case_id, real_id):
-        """Cache-check + ASYNC solve dispatch for one (case,
-        realization): returns an opaque handle for
-        :meth:`finish_directional_potential`. Splitting the solve lets
-        a multi-case prep loop overlap the host work of case *i+1*
-        (island labeling + tile-hierarchy build) and the device solve
-        of case *i* — the refined solve is a single async jit dispatch,
-        so nothing blocks until the residual is read at finish time."""
+    def _check_potential_cache(self, case_id, real_id):
+        """Returns (cached-state-or-None, fname, id_str)."""
         fname = self._get_potential_fname(case_id, real_id,
                                           self.mode_data_dir)
         id_str = self._get_id_string(case_id, real_id)
@@ -322,12 +316,105 @@ class Simulator(PlottingMixin, Config):
             if (self.sim_seed < 0) and (real_id != 0):
                 raise FileNotFoundError
             print(f'{id_str}: Found saved potential')
-            return ('cached', potential, fname, id_str, 0.)
+            return ('cached', potential, fname, id_str, 0.), fname, id_str
         except FileNotFoundError:
-            pass
+            return None, fname, id_str
+
+    def begin_directional_potential(self, updraft, case_id, real_id):
+        """Cache-check + ASYNC solve dispatch for one (case,
+        realization): returns an opaque handle for
+        :meth:`finish_directional_potential`. Splitting the solve lets
+        a multi-case prep loop overlap the host work of case *i+1*
+        (island labeling + tile-hierarchy build) and the device solve
+        of case *i* — the refined solve is a single async jit dispatch,
+        so nothing blocks until the residual is read at finish time."""
+        state, fname, id_str = self._check_potential_cache(case_id,
+                                                           real_id)
+        if state is not None:
+            return state
         start_time = time.time()
         handle = self._begin_potential_solve(np.asarray(updraft))
         return ('solve', handle, fname, id_str, start_time)
+
+    def _potential_batch_cap(self) -> int:
+        """How many uncached refined solves one vmapped program may
+        carry (Config.potential_batch: 0 = auto, 1 = off, >1 = cap).
+        Auto is sized so the batched solve's working set (~200 B/cell/
+        case measured envelope: two 8-plane stacks + hierarchy + GCR
+        history) stays under ~3.5 GB: 8 up to ~2M cells (the seasonal
+        flagship scales), 4 at 2048^2, 1 (off) past ~3000^2 where one
+        solve already fills the chip and batching would OOM."""
+        pb = int(self.potential_batch)
+        if pb == 1:
+            return 1
+        cells = int(np.prod(self.gridsize))
+        auto = max(1, min(8, int(3.5e9 // (cells * 200))))
+        return pb if pb > 1 else auto
+
+    def begin_directional_potentials(self, items):
+        """Multi-case prep: cache-check every ``(updraft, case_id,
+        real_id)`` item and dispatch the uncached solves as BATCHED
+        vmapped refined-solve programs in power-of-two groups (see
+        ``solve_potential_refined_batch``: one small-grid solve is
+        latency-bound, so C cases per program is measured ~3x faster
+        than C back-to-back solves at the 500x600 flagship). Returns
+        one :meth:`finish_directional_potential` handle per item, in
+        order; the per-case residual/fallback policy is unchanged
+        (each batched case finishes through the same handle kind)."""
+        states = [None] * len(items)
+        todo = []
+        for i, (updraft, case_id, real_id) in enumerate(items):
+            state, fname, id_str = self._check_potential_cache(case_id,
+                                                               real_id)
+            if state is not None:
+                states[i] = state
+            else:
+                todo.append((i, updraft, fname, id_str))
+        solver = (self.potential_solver or 'auto').lower()
+        cap = self._potential_batch_cap()
+        # quantize the group size to a power of two: every distinct
+        # batch size is its own XLA executable
+        cap = 1 << max(0, cap.bit_length() - 1)
+        if solver not in ('auto', 'refined') or cap <= 1 or len(todo) < 2:
+            for i, updraft, fname, id_str in todo:
+                states[i] = ('solve',
+                             self._begin_potential_solve(
+                                 np.asarray(updraft)),
+                             fname, id_str, time.time())
+            return states
+        from .potential import solve_potential_refined_batch
+        from .potential.boundary import boundary_masks
+        bmask, bvals = boundary_masks(self.track_direction,
+                                      tuple(self.gridsize))
+        maxiter = self.potential_maxiter if self.potential_maxiter > 0 \
+            else 60
+        pos = 0
+        while pos < len(todo):
+            n_left = len(todo) - pos
+            if n_left == 1:
+                # a lone remainder reuses the (already-compiled)
+                # single-case executable instead of a padded batch
+                i, updraft, fname, id_str = todo[pos]
+                states[i] = ('solve',
+                             self._begin_potential_solve(
+                                 np.asarray(updraft)),
+                             fname, id_str, time.time())
+                break
+            b = min(cap, 1 << (n_left - 1).bit_length())
+            group = todo[pos:pos + b]
+            t0 = time.time()
+            conds = [np.asarray(u) for (_, u, _, _) in group]
+            # pad a short tail group up to its power of two by repeating
+            # the last field (the padded lanes' results are dropped)
+            conds_in = conds + [conds[-1]] * (b - len(group))
+            pots, resids = solve_potential_refined_batch(
+                conds_in, bmask, bvals, maxcycles=maxiter)
+            for j, (i, _, fname, id_str) in enumerate(group):
+                states[i] = ('solve',
+                             ('refined', (conds[j], pots[j], resids[j])),
+                             fname, id_str, t0)
+            pos += len(group)
+        return states
 
     def finish_directional_potential(self, state) -> np.ndarray:
         """Materialize a :meth:`begin_directional_potential` handle:
@@ -346,6 +433,43 @@ class Simulator(PlottingMixin, Config):
         if np.isnan(potential).any():
             print('NANs found in potential!')
         return potential
+
+    def _prepare_potentials(self, items):
+        """Potentials for a list of ``(case_id, real_id, updraft)`` work
+        items, in order. Where the batched vmapped solve applies
+        (refined solver, batch cap > 1, >1 item) the items run through
+        :meth:`begin_directional_potentials` in bounded windows (at
+        most ``4 * cap`` unmaterialized potentials parked on device);
+        otherwise the per-case pipelined dispatch with the bounded
+        finish depth (3, or 1 past 4096^2 where the solve runs near the
+        HBM ceiling — docs/DESIGN.md "COO deflation")."""
+        out = [None] * len(items)
+        solver = (self.potential_solver or 'auto').lower()
+        cap = self._potential_batch_cap()
+        if solver in ('auto', 'refined') and cap > 1 and len(items) > 1:
+            window = cap * 4
+            for w0 in range(0, len(items), window):
+                win = items[w0:w0 + window]
+                handles = self.begin_directional_potentials(
+                    [(upd, cid, rid) for cid, rid, upd in win])
+                for k, handle in enumerate(handles):
+                    out[w0 + k] = self.finish_directional_potential(
+                        handle)
+            return out
+        depth = 3 if int(np.prod(self.gridsize)) <= 4096 * 4096 else 1
+        pending = []
+        done = 0
+        for cid, rid, upd in items:
+            pending.append(self.begin_directional_potential(upd, cid,
+                                                            rid))
+            if len(pending) >= depth:
+                out[done] = self.finish_directional_potential(
+                    pending.pop(0))
+                done += 1
+        while pending:
+            out[done] = self.finish_directional_potential(pending.pop(0))
+            done += 1
+        return out
 
     def _solve_potential(self, conductivity: np.ndarray) -> np.ndarray:
         return self._finish_potential_solve(
@@ -513,39 +637,23 @@ class Simulator(PlottingMixin, Config):
                 f'movement_model {self.movement_model!r} not '
                 "implemented; options: 'fluidflow', 'drw'")
 
-        # enumerate all (case, realization, fields) work items. The
-        # potential solves are PIPELINED: begin() dispatches the async
-        # device solve, so the host's island-labeling/tile-build for the
-        # next case overlaps it; finish() (residual read + fallback
-        # policy + artifact save) runs a bounded depth behind so at most
-        # `depth` unmaterialized potentials sit on device (large grids:
-        # one potential is nrow*ncol f32).
+        # enumerate all (case, realization, fields) work items; the
+        # potential solves go through _prepare_potentials (batched
+        # vmapped groups where they apply, bounded-depth pipelined
+        # dispatch otherwise)
         work = []
-        pending = []
-        # pipeline depth: disabled past 4096^2 — the 8192^2 solve already
-        # runs within ~200 MB of the HBM ceiling (docs/DESIGN.md "COO
-        # deflation"), so parked potentials/conductivities must not
-        # accumulate there
-        depth = 3 if int(np.prod(self.gridsize)) <= 4096 * 4096 else 1
-
-        def _drain_one():
-            case_id, real_id, updraft, handle = pending.pop(0)
-            work.append((case_id, real_id, updraft,
-                         self.finish_directional_potential(handle)))
-
+        items = []
         for case_id in self.case_ids:
             updrafts = self.load_updrafts(case_id, apply_threshold=True)
             for real_id, updraft in enumerate(updrafts):
                 if self.movement_model == 'fluidflow':
-                    pending.append((case_id, real_id, updraft,
-                                    self.begin_directional_potential(
-                                        updraft, case_id, real_id)))
-                    if len(pending) >= depth:
-                        _drain_one()
+                    items.append((case_id, real_id, updraft))
                 else:
                     work.append((case_id, real_id, None, None))
-        while pending:
-            _drain_one()
+        if items:
+            pots = self._prepare_potentials(items)
+            work = [(cid, rid, upd, pot)
+                    for (cid, rid, upd), pot in zip(items, pots)]
 
         if not record and len(work) > 1:
             self._simulate_batched(params, starts, work)
@@ -748,26 +856,22 @@ class Simulator(PlottingMixin, Config):
         starts = np.stack([starting_rows, starting_cols],
                           axis=1).astype(np.int32)
         params = self._track_params()
-        # pipelined prep, as in _simulate_tracks_impl (the sweep shares
-        # one wind speed, so every case hits the same solver executable)
+        # shared prep path with _simulate_tracks_impl (the sweep shares
+        # one wind speed AND one track direction, so every case hits
+        # the same solver executables — batched groups included)
         work = []
-        pending = []
+        items = []
         for case_id in new_cases:
             updraft = self.load_updrafts(case_id,
                                          apply_threshold=True)[0]
             if self.movement_model == 'fluidflow':
-                pending.append((case_id, updraft,
-                                self.begin_directional_potential(
-                                    updraft, case_id, 0)))
-                if len(pending) >= 3:
-                    cid, upd, h = pending.pop(0)
-                    work.append((cid, 0, upd,
-                                 self.finish_directional_potential(h)))
+                items.append((case_id, 0, updraft))
             else:
                 work.append((case_id, 0, None, None))
-        for cid, upd, h in pending:
-            work.append((cid, 0, upd,
-                         self.finish_directional_potential(h)))
+        if items:
+            pots = self._prepare_potentials(items)
+            work = [(cid, rid, upd, pot)
+                    for (cid, rid, upd), pot in zip(items, pots)]
         self._simulate_batched(params, starts, work)
         return new_cases
 

@@ -227,3 +227,44 @@ def test_fallback_cost_estimate_monotone():
     assert 8 < g2048 < 25             # measured 14.7 GB
     s8192, _ = fallback_cost_estimate(8192 * 8192)
     assert s8192 > 3600               # hours territory: the cap's point
+
+
+def test_batched_potential_prep_matches_single(sim):
+    """begin_directional_potentials (vmapped group solve, incl. the
+    pad-to-power-of-two tail) produces the same potentials and
+    artifacts as the per-case path, and the second call is a cache
+    hit."""
+    rng = np.random.default_rng(5)
+    shape = tuple(sim.gridsize)
+    conds = []
+    for i in range(3):
+        w = (0.4 + rng.random(shape)).astype(np.float32)
+        w[rng.random(shape) < 0.2 + 0.1 * i] = 0.0
+        conds.append(w)
+    items = [(w, f'batched{i}', 0) for i, w in enumerate(conds)]
+    handles = sim.begin_directional_potentials(items)
+    assert all(h[0] == 'solve' for h in handles)
+    pots_b = [sim.finish_directional_potential(h) for h in handles]
+    for i, w in enumerate(conds):
+        pot = sim.get_directional_potential(w, f'single{i}', 0)
+        assert np.abs(pots_b[i] - pot).max() < 0.05
+        fname = sim._get_potential_fname(f'batched{i}', 0,
+                                         sim.mode_data_dir)
+        assert os.path.isfile(f'{fname}.npy')
+    handles = sim.begin_directional_potentials(items)
+    assert all(h[0] == 'cached' for h in handles)
+
+
+def test_potential_batch_cap_policy(sim):
+    """Config.potential_batch: 0 = grid-sized auto, 1 = off, >1 =
+    explicit (power-of-two quantization happens at group time)."""
+    orig = sim.potential_batch
+    try:
+        sim.potential_batch = 0
+        assert sim._potential_batch_cap() == 8   # 50x60 grid: tiny
+        sim.potential_batch = 1
+        assert sim._potential_batch_cap() == 1
+        sim.potential_batch = 6
+        assert sim._potential_batch_cap() == 6
+    finally:
+        sim.potential_batch = orig
