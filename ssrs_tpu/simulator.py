@@ -722,7 +722,15 @@ class Simulator(PlottingMixin, Config):
             params, tables, np.asarray(starts), keys,
             tail_bucket=tail, devices=devices)
         presence = np.asarray(presence, dtype=np.int32)
+        wall = time.time() - start_time
         print(f'took {elapsed_str(start_time)}', flush=True)
+        # structured phase record (phase_timings.json): useful steps =
+        # presence mass minus the start deposits, as in bench.py
+        self.timer.records.append({
+            'phase': 'batched_tracks', 'seconds': wall,
+            'cases': len(work),
+            'useful_steps': int(presence.sum(dtype=np.int64))
+            - len(work) * int(self.track_count)})
         for i, (case_id, real_id, _, _) in enumerate(work):
             fname = self._get_counts_fname(case_id, real_id,
                                            self.mode_data_dir)

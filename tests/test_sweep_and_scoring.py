@@ -35,6 +35,17 @@ def test_direction_sweep(sweep_sim):
     # sweep cases feed the standard presence pipeline
     summary = sweep_sim.compute_presence_map(radius=600.)
     assert np.isclose(summary.max(), 1.0)
+    # the batched engine leaves a structured phase record with the
+    # useful-steps metric (presence mass minus start deposits)
+    recs = [r for r in sweep_sim.timer.records
+            if r['phase'] == 'batched_tracks']
+    assert len(recs) == 1 and recs[0]['cases'] == 4
+    total = sum(
+        np.load(os.path.join(
+            sweep_sim.mode_data_dir,
+            f'{c}_d0_t75_fluidflow_r0_counts.npy')).sum(dtype=np.int64)
+        for c in cases)
+    assert recs[0]['useful_steps'] == total - 4 * 300
 
 
 def test_turbine_presence_scores(tmp_path, monkeypatch):
