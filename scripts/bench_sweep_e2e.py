@@ -61,22 +61,32 @@ def main():
         wall = time.perf_counter() - t0
         assert len(cases) == n_dirns
         steps = 0
+        engine_wall = 0.
         for rec in sim.timer.records:
             if rec.get('phase') == 'batched_tracks':
                 steps += int(rec.get('useful_steps', 0))
-        results.append((wall, steps))
-        print(f'rep {rep}: wall={wall:.2f}s useful_steps={steps}',
+                engine_wall += float(rec.get('seconds', 0.))
+        results.append((wall, steps, engine_wall))
+        print(f'rep {rep}: wall={wall:.2f}s (engine {engine_wall:.2f}s, '
+              f'prep {wall - engine_wall:.2f}s) useful_steps={steps}',
               flush=True)
 
-    wall, steps = min(results, key=lambda r: r[0])
+    wall, steps, engine_wall = min(results, key=lambda r: r[0])
     out = {
         'bench': 'sweep_e2e',
         'grid': f'{nrow}x{ncol}',
         'cases': n_dirns,
         'tracks_per_case': n_tracks,
         'wall_s': round(wall, 2),
+        # phase split from the run's timer: 'batched_tracks' is the
+        # agent-engine wall; everything else (updrafts, thresholds,
+        # batched potential solves, artifact IO) is prep
+        'engine_wall_s': round(engine_wall, 2),
+        'prep_wall_s': round(wall - engine_wall, 2),
         'useful_steps': steps,
         'steps_per_s_e2e': round(steps / wall) if steps else None,
+        'steps_per_s_engine': (round(steps / engine_wall)
+                               if steps and engine_wall else None),
     }
     print(json.dumps(out))
 

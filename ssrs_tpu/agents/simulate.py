@@ -80,19 +80,20 @@ class TrackParams(NamedTuple):
     memory_k: int                      # direction-memory length (>= 0)
     burnin: int                        # boundary-push steps
     nsteps: int                        # step cap (static)
-    # storage dtype of the per-cell move-weight table. The default
-    # 'float32' keeps move probabilities at the reference's working
-    # precision (fidelity-first, like the deterministic tail_bucket
-    # default); throughput drivers (bench.py, ensembles) opt into
-    # 'bfloat16' (~0.4% relative weight quantization that the presence
-    # statistics absorb, verified in tests). The cost of f32 is grid-
+    # storage dtype of the per-cell move-weight table: 'auto' (default)
+    # keeps the reference's float32 working precision whenever the f32
+    # table fits the gather's measured VMEM budget, else stores
+    # bfloat16 with a one-line notice (resolve_weight_dtype). Explicit
+    # 'float32' forces full precision; 'bfloat16' (~0.4% relative
+    # weight quantization that the presence statistics absorb, verified
+    # in tests) forces the fast table. The cost of f32 is grid-
     # dependent and can be LARGE: the dominant per-step gather runs at
     # ~2 ns/row only while the table fits its VMEM budget (~6-8 MB);
     # past that it cliffs to a flat HBM-latency ~15-20 ns/row. At the
     # 500x600 flagship, bf16 (5.4 MB) fits and f32 (10.8 MB) does not —
     # measured ~10x on the gather (scripts/exp_gather_capacity.py,
     # docs/DESIGN.md "the gather is a VMEM-capacity story").
-    weight_dtype: str = 'float32'
+    weight_dtype: str = 'auto'
     # presence accumulation for the XLA step: 'auto' = one-hot int8 MXU
     # matmul histogram for grids with nrow+ncol <= 4096 (exact, ~25%
     # faster end-to-end than XLA's serialized scatter-add), plain
@@ -173,6 +174,44 @@ def harmonic_mean_weights(updraft: jax.Array,
     return jnp.stack(layers, axis=-1)
 
 
+# Measured VMEM budget of the per-step table gather (bytes): the gather
+# issues at ~2 ns/row while the whole (nrow*ncol, 9) table fits, and
+# cliffs to a flat HBM-latency ~15-20 ns/row past it — independent of
+# table size and index locality (scripts/exp_gather_capacity.py,
+# docs/DESIGN.md "the gather is a VMEM-capacity story"). The cliff sits
+# in a ~6-8 MB window; 6 MB is the conservative end, so 'auto' never
+# picks an f32 table that measured slow.
+GATHER_VMEM_BUDGET = 6 * 2 ** 20
+
+_AUTO_DTYPE_NOTICED: set = set()
+
+
+def resolve_weight_dtype(dtype: str, grid_shape) -> str:
+    """Resolve the 'auto' weight-storage tier (VERDICT r4 item 4).
+
+    'auto' keeps the reference's float32 working precision whenever the
+    f32 table fits the gather's measured VMEM budget, and otherwise
+    drops to bfloat16 (~0.4% relative weight quantization, absorbed by
+    the presence statistics — pinned by tests/test_compaction.py) with
+    a one-line notice. Explicit 'float32'/'bfloat16' pass through.
+    """
+    if dtype != 'auto':
+        return dtype
+    nrow, ncol = int(grid_shape[0]), int(grid_shape[1])
+    f32_bytes = nrow * ncol * 9 * 4
+    if f32_bytes <= GATHER_VMEM_BUDGET:
+        return 'float32'
+    if (nrow, ncol) not in _AUTO_DTYPE_NOTICED:
+        _AUTO_DTYPE_NOTICED.add((nrow, ncol))
+        print(f'ssrs_tpu: weight table at {nrow}x{ncol} is '
+              f'{f32_bytes / 2**20:.1f} MB in float32 — past the '
+              f'~{GATHER_VMEM_BUDGET / 2**20:.0f} MB VMEM gather budget '
+              '(~10x slower per step); storing bfloat16. Set '
+              "track_weight_precision='float32' to force full precision.",
+              flush=True)
+    return 'bfloat16'
+
+
 @functools.partial(jax.jit, static_argnames=('dtype',))
 def prepared_weights(updraft: jax.Array, potential: Optional[jax.Array],
                      dirp: jax.Array, dtype) -> jax.Array:
@@ -182,13 +221,16 @@ def prepared_weights(updraft: jax.Array, potential: Optional[jax.Array],
     (ssrs/movmodel.py:227-232) — replace-with-directional-prior on NaN,
     clip to >= 0, zero the center — depend only on the cell, so they are
     applied once here instead of at every agent-step. Returns the
-    flattened (nrow*ncol, 9) table in the requested storage dtype.
+    flattened (nrow*ncol, 9) table in the requested storage dtype;
+    ``dtype='auto'`` resolves via :func:`resolve_weight_dtype` at trace
+    time (the updraft's shape is static under jit).
 
     Jitted as ONE dispatch: eagerly, its ~60 elementwise ops each pay
     the axon tunnel's per-dispatch overhead — measured 220 ms of a
     380 ms warm bench run (scripts/exp_prologue.py) for ~1 ms of
     device compute.
     """
+    dtype = resolve_weight_dtype(dtype, updraft.shape)
     base = harmonic_mean_weights(updraft, potential)
     center0 = jnp.asarray(CENTER_ZERO)
     base = jnp.clip(base, min=0.) * center0
@@ -583,10 +625,12 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
     With ``record_tracks``: additionally materializes the (nsteps+1, N, 2)
     int16 trajectory array (small runs only — memory is nsteps*N*4 bytes).
 
-    Note: when the fused engine is selected, the caller is responsible
-    for the agent count being a multiple of FUSED_BLK (the non-jit
-    drivers pad automatically; this jitted entry falls back to the XLA
-    step for odd sizes).
+    Note: when the fused engine is selected and the agent count is not
+    a multiple of FUSED_BLK, the batch is padded up to it inside the
+    trace (shapes are static under jit, so the pad costs no host sync;
+    padding agents start dead and contribute nothing) — like the
+    non-jit drivers' automatic ``prepare_starts`` padding. Returned
+    track arrays are sliced back to the caller's N.
     """
     dirp = jnp.asarray(directional_probs(params.move_dirn))
     table = jnp.asarray(restriction_table())
@@ -595,10 +639,23 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
                                      params.weight_dtype)
     else:
         base_flat = None
-    n = jnp.asarray(start_rc).shape[0]
+    start_rc = jnp.asarray(start_rc)
+    n_orig = start_rc.shape[0]
     if (resolve_step_impl(params, base_flat is not None)
-            in ('fused', 'fused-interpret') and n % FUSED_BLK != 0):
-        params = params._replace(step_impl='xla')
+            in ('fused', 'fused-interpret') and n_orig % FUSED_BLK != 0):
+        # auto-pad to the fused block size (VERDICT r4 item 7 — this
+        # entry used to silently downgrade to the XLA step instead)
+        n_pad = _round_up(n_orig, FUSED_BLK) - n_orig
+        start_rc = jnp.concatenate(
+            [jnp.asarray(start_rc, jnp.int32),
+             jnp.broadcast_to(start_rc[-1:].astype(jnp.int32),
+                              (n_pad, 2))], axis=0)
+        if valid is None:
+            valid = jnp.arange(n_orig + n_pad) < n_orig
+        else:
+            valid = jnp.concatenate(
+                [jnp.asarray(valid, bool),
+                 jnp.zeros(n_pad, bool)])
     step_fn = make_step_fn(params, base_flat, dirp, table)
     state = init_state(params, start_rc, key, valid=valid)
 
@@ -614,7 +671,7 @@ def simulate_presence(params: TrackParams, start_rc: jax.Array,
         # per-agent trajectory length = 1 (start) + moves made
         lengths = 1 + jnp.sum(alive_tail.astype(jnp.int32), axis=0)
         return (_presence_out(params, state.presence), state.step,
-                tracks, lengths)
+                tracks[:, :n_orig], lengths[:n_orig])
 
     nchunks = -(-params.nsteps // chunk)
 

