@@ -14,7 +14,15 @@ Round-3 measured (v5e, 24 cases, vmapped): all 24 simulations in
 Potential fields go through the production refined solver; warm
 per-case prep is ~1.8 s (updraft 0.3 + labels 0.1 + tile hierarchy 0.4
 + device solve 1.0), with one-time XLA compiles per (shape,
-island-bucket) combination on top of the first run."""
+island-bucket) combination on top of the first run.
+
+Round 5 (VERDICT r4 item 3): the potential prep itself is A/B'd —
+per-case sequential refined solves vs the batched vmapped solver
+(groups of SSRS_SEASONAL_BATCH, default 8, matching
+Config.potential_batch auto at this working set). Each mode runs
+twice; the warm rep is the quotable number. ``fields_seconds`` is the
+end-to-end prep wall with the best prep mode (updrafts + potentials +
+weight tables)."""
 
 import json
 import os
@@ -58,22 +66,80 @@ def main():
 
     # one wind case per sampled direction/speed (the seasonal analog)
     rng = np.random.default_rng(1)
+    dirns = rng.uniform(180., 360., n_cases).astype(np.float32)
+    speeds = rng.uniform(6., 14., n_cases).astype(np.float32)
+
+    # all C updrafts+thresholds in ONE dispatch (round 5: the eager
+    # per-case loop paid ~2 tunnel RTTs per case — 10.7 s of the 24-case
+    # Appalachian prep wall for ~0.2 s of device compute). Run twice:
+    # the first call carries the one-time compile (persistent-cached).
+    @jax.jit
+    def batched_conds(speeds, dirns):
+        ones = jnp.ones((nrow, ncol), jnp.float32)
+        return jax.vmap(lambda s, d: get_above_threshold_speed(
+            orographic_updraft_from_dem(dem, res, s * ones, d * ones),
+            0.75))(speeds, dirns)
+
+    np.asarray(batched_conds(jnp.asarray(speeds), jnp.asarray(dirns)))
+    t_up = time.perf_counter()
+    conds = batched_conds(jnp.asarray(speeds), jnp.asarray(dirns))
+    bmask, bvals = boundary_masks(0., (nrow, ncol))
+    conds_np = list(np.asarray(conds))  # one sync + host copy
+    conds = list(conds)
+    dt_updrafts = time.perf_counter() - t_up
+
+    # potential-prep A/B (VERDICT r4 item 3): per-case sequential
+    # refined solves vs the batched vmapped solver the Simulator's
+    # _prepare_potentials uses (Config.potential_batch auto -> groups
+    # of 8 at this working set). Each mode runs twice: run 0 carries
+    # the one-time compiles, run 1 is the quotable warm number.
+    from ssrs_tpu.potential import solve_potential_refined_batch
+    prep_mode = os.environ.get('SSRS_SEASONAL_PREP', 'both')
+    group = int(os.environ.get('SSRS_SEASONAL_BATCH', 8))
+    prep = {}
+
+    def run_sequential():
+        pots = [solve_potential_refined(c, bmask, bvals)[0]
+                for c in conds_np]
+        return [np.asarray(p) for p in pots]  # materialize = sync
+
+    def run_batched():
+        pots = []
+        for i0 in range(0, n_cases, group):
+            p, _ = solve_potential_refined_batch(conds_np[i0:i0 + group],
+                                                 bmask, bvals)
+            pots.append(p)
+        return [np.asarray(p) for chunk in pots for p in chunk]
+
+    runners = {'sequential': run_sequential, 'batched': run_batched}
+    if prep_mode != 'both':
+        runners = {prep_mode: runners[prep_mode]}
+    pots = None
+    for name, runner in runners.items():
+        walls = []
+        for rep in range(2):
+            t0 = time.perf_counter()
+            pots = runner()
+            walls.append(round(time.perf_counter() - t0, 2))
+            print(f'prep[{name}] rep {rep}: {walls[-1]}s', flush=True)
+        prep[name] = {'cold_s': walls[0], 'warm_s': walls[1]}
+
+    from ssrs_tpu.agents import prepared_weights_batch
+
+    def build_tables():
+        t = prepared_weights_batch(
+            jnp.stack(conds), jnp.asarray(np.stack(pots)),
+            jnp.broadcast_to(dirp, (n_cases, 9)), 'bfloat16')
+        np.asarray(t[-1, 0])  # sync
+        return t
+
+    build_tables()  # one-time compile (persistent-cached)
     t0 = time.perf_counter()
-    tables = []
-    for i in range(n_cases):
-        dirn = float(rng.uniform(180., 360.))
-        speed = float(rng.uniform(6., 14.))
-        w = orographic_updraft_from_dem(
-            dem, res, speed * jnp.ones((nrow, ncol), jnp.float32),
-            dirn * jnp.ones((nrow, ncol), jnp.float32))
-        cond = get_above_threshold_speed(w, 0.75)
-        bmask, bvals = boundary_masks(0., (nrow, ncol))
-        pot, _ = solve_potential_refined(np.asarray(cond), bmask, bvals)
-        tables.append(prepared_weights(cond, jnp.asarray(pot), dirp,
-                                       'bfloat16'))
-    tables = jnp.stack(tables)
-    tables.block_until_ready()
-    dt_fields = time.perf_counter() - t0
+    tables = build_tables()
+    dt_tables = time.perf_counter() - t0
+    dt_fields = (dt_updrafts + dt_tables
+                 + prep[min(prep,
+                            key=lambda k: prep[k]['warm_s'])]['warm_s'])
 
     rows, cols = get_starting_indices(
         n_tracks, [2., ncol * res / 1000. - 2., 1., 2.], 'random',
@@ -117,6 +183,9 @@ def main():
         'cases': n_cases,
         'tracks_per_case': n_tracks,
         'fields_seconds': round(dt_fields, 2),
+        'updraft_seconds': round(dt_updrafts, 2),
+        'tables_seconds': round(dt_tables, 2),
+        'potential_prep': prep,
         'engines': results,
         'speedup_compacting_vs_vmapped': round(
             results['vmapped']['sim_seconds']

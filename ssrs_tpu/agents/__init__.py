@@ -8,7 +8,7 @@ from .presence import (compute_presence_counts,
                        smooth_presence, smooth_presence_from_counts)
 from .simulate import (SimState, TrackParams, harmonic_mean_weights,
                        init_state, make_step_fn, prepare_starts,
-                       prepared_weights,
+                       prepared_weights, prepared_weights_batch,
                        simulate_presence, simulate_presence_cases,
                        simulate_presence_cases_compacting,
                        simulate_presence_compacting,
@@ -22,7 +22,7 @@ __all__ = [
     'circular_kernel', 'smooth_presence', 'smooth_presence_from_counts',
     'SimState', 'TrackParams', 'harmonic_mean_weights', 'init_state',
     'make_step_fn', 'prepare_starts', 'prepared_weights',
-    'simulate_presence',
+    'prepared_weights_batch', 'simulate_presence',
     'simulate_presence_cases', 'simulate_presence_cases_compacting',
     'simulate_presence_compacting',
     'simulate_tracks_recorded', 'get_starting_indices',

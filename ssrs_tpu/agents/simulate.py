@@ -212,6 +212,15 @@ def resolve_weight_dtype(dtype: str, grid_shape) -> str:
     return 'bfloat16'
 
 
+def _prepared_weights_body(updraft, potential, dirp, dtype):
+    base = harmonic_mean_weights(updraft, potential)
+    center0 = jnp.asarray(CENTER_ZERO)
+    base = jnp.clip(base, min=0.) * center0
+    row_nan = jnp.any(jnp.isnan(base), axis=-1, keepdims=True)
+    base = jnp.where(row_nan, dirp * center0, base)
+    return base.reshape(-1, 9).astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=('dtype',))
 def prepared_weights(updraft: jax.Array, potential: Optional[jax.Array],
                      dirp: jax.Array, dtype) -> jax.Array:
@@ -231,12 +240,27 @@ def prepared_weights(updraft: jax.Array, potential: Optional[jax.Array],
     device compute.
     """
     dtype = resolve_weight_dtype(dtype, updraft.shape)
-    base = harmonic_mean_weights(updraft, potential)
-    center0 = jnp.asarray(CENTER_ZERO)
-    base = jnp.clip(base, min=0.) * center0
-    row_nan = jnp.any(jnp.isnan(base), axis=-1, keepdims=True)
-    base = jnp.where(row_nan, dirp * center0, base)
-    return base.reshape(-1, 9).astype(dtype)
+    return _prepared_weights_body(updraft, potential, dirp, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('dtype',))
+def prepared_weights_batch(updrafts: jax.Array, potentials: jax.Array,
+                           dirps: jax.Array, dtype) -> jax.Array:
+    """All C cases' weight tables in ONE dispatch: (C, nrow, ncol)
+    updrafts/potentials + (C, 9) priors -> (C, nrow*ncol, 9) tables.
+
+    The multi-case prep pattern (round 5): C eager
+    :func:`prepared_weights` calls pay C tunnel dispatches (~150 ms
+    RTT each on axon) plus per-call launch overhead; one vmapped
+    program pays one. Warm at the 24-case Appalachian scale the build
+    is 6.2 s, dominated by the ~160 MB host->device upload of the
+    materialized potential fields, not dispatch
+    (scripts/bench_seasonal.py).
+    """
+    dtype = resolve_weight_dtype(dtype, updrafts.shape[1:])
+    return jax.vmap(
+        lambda u, p, d: _prepared_weights_body(u, p, d, dtype))(
+            updrafts, potentials, dirps)
 
 
 def _push_from_boundary(r: jax.Array, c: jax.Array, nrow: int, ncol: int):

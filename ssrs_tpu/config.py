@@ -101,12 +101,14 @@ class Config:
     # with the cost estimate instead of silently attempting it. <= 0
     # lifts the cap.
     potential_fallback_max_unknowns: int = 8_000_000
-    # multi-case potential solves run as ONE vmapped device program in
-    # groups of this many cases (one small-grid solve is latency-bound;
-    # batching is measured ~3x at the 500x600 flagship —
-    # scripts/exp_batch_solve_probe.py). 0 = auto (8 up to ~2M cells,
-    # shrinking to 1 past ~3000^2 where one solve fills the chip),
-    # 1 = off, >1 = explicit cap (quantized down to a power of two)
+    # multi-case potential solves: 0 = auto, which round 5 resolves to
+    # OFF — the round-4 "~3x batched" measurement does not reproduce
+    # (sequential pipelined solves measured faster at every grid in an
+    # interleaved sweep, and batched convergence is composition-fragile
+    # on ill-conditioned fields: 3e-7 solo cases exit at 3e-3 in
+    # batches >= 4 — scripts/exp_batch_crossover.py, docs/DESIGN.md
+    # "Round 5: the batched-solve reversal"). 1 = off explicitly;
+    # >1 = run vmapped programs of up to this many cases (memory-capped)
     potential_batch: int = 0
     # device mesh: number of devices to shard agents over (0 = all local)
     mesh_devices: int = 0

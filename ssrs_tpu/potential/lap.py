@@ -551,6 +551,20 @@ def _stack_tile_hierarchies(hiers: Sequence[List[TileSeg]]
             return np.pad(a, [(0, w - a.shape[0])] + [(0, 0)] *
                           (a.ndim - 1))
 
+        def restride_sidx(s, Ld=Ld):
+            # sidx entries are FLAT indices into the case's own (T, Ld)
+            # dense layout; widening Ld changes the stride, so they must
+            # be re-laid out for the padded width. Without this, any
+            # case whose adaptive dense width is below the batch max
+            # reads scrambled per-tile sums — measured on the 500x600
+            # probe fields as 3e-3 batched residuals for cases that
+            # solve to 3e-7 alone (round-5 fix; small grids all sit at
+            # the minimum width, which is why per-case == batched tests
+            # passed). Padded zero entries map to zero (t=0, slot=0).
+            ld_case = s.slot_iota.shape[0]
+            t, sl = np.divmod(s.sidx.astype(np.int64), ld_case)
+            return (t * Ld + sl).astype(np.int32)
+
         out.append(TileSeg(
             lidx=np.stack([s.lidx for s in segs]),
             slots=np.stack([np.pad(s.slots,
@@ -558,7 +572,7 @@ def _stack_tile_hierarchies(hiers: Sequence[List[TileSeg]]
                             for s in segs]),
             slot_iota=np.broadcast_to(np.arange(Ld, dtype=np.int16),
                                       (len(segs), Ld)).copy(),
-            sidx=np.stack([padw(s.sidx, S) for s in segs]),
+            sidx=np.stack([padw(restride_sidx(s), S) for s in segs]),
             sisland=np.stack([padw(s.sisland, S) for s in segs]),
             ocell=np.stack([padw(s.ocell, O) for s in segs]),
             oisland=np.stack([padw(s.oisland, O) for s in segs]),
@@ -1102,13 +1116,22 @@ def solve_potential_refined_batch(conductivities, bmask, bvals,
     (potentials (C, nrow, ncol) f32 device array, residuals (C,)) —
     both UNMATERIALIZED (async dispatch, like solve_potential_refined).
 
-    Why: at small-to-mid grids one solve is latency-bound — hundreds of
-    sequential small ops leave the MXU/VPU mostly idle (measured: 8
-    back-to-back 500x600 solves take 4.5 s device-serial while one
-    takes 0.5 s; scripts/exp_batch_solve_probe.py). Batching makes each
-    op C-wide. The per-case island buckets are padded to the batch
-    maxima (see _stack_tile_hierarchies); num_segments is the max
-    power-of-4 bucket across cases."""
+    Status (round 5): NOT the production default. The round-4 "~3x at
+    500x600" measurement does not reproduce — interleaved A/Bs now
+    measure this path LOSING to pipelined sequential solves at every
+    grid tried (3.4x at 500x600), and its convergence is
+    composition-fragile on ill-conditioned fields: cases that solve to
+    3e-7 alone exit at 3e-3 inside batches >= 4 (still under the 5e-3
+    safety net; per-pass iterates match solo to ~1e-4, so the
+    divergence is f32 trajectory sensitivity amplified by the stall
+    guards, not a routing bug — the one routing hazard found, the
+    unrestrided ``sidx`` under mixed adaptive widths, is fixed and
+    tested but was NOT the cause here). Kept for explicit opt-in
+    (Config.potential_batch > 1) and as the measured record;
+    docs/DESIGN.md "Round 5: the batched-solve reversal". The per-case
+    island buckets are padded to the batch maxima (see
+    _stack_tile_hierarchies); num_segments is the max power-of-4
+    bucket across cases."""
     conds = [np.asarray(c) for c in conductivities]
     shape = conds[0].shape
     assert all(c.shape == shape for c in conds)

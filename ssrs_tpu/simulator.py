@@ -339,25 +339,33 @@ class Simulator(PlottingMixin, Config):
     def _potential_batch_cap(self) -> int:
         """How many uncached refined solves one vmapped program may
         carry (Config.potential_batch: 0 = auto, 1 = off, >1 = cap).
-        Auto is sized so the batched solve's working set (~200 B/cell/
-        case measured envelope: two 8-plane stacks + hierarchy + GCR
-        history) stays under ~3.5 GB: 8 up to ~2M cells (the seasonal
-        flagship scales), 4 at 2048^2, 1 (off) past ~3000^2 where one
-        solve already fills the chip and batching would OOM."""
+
+        Auto is OFF (round 5): the round-4 "~3x at 500x600" batching
+        win does not reproduce — the same probe now measures batched
+        LOSING 3.4x to pipelined sequential solves, and an interleaved
+        group sweep found sequential fastest at every grid tried
+        (500x600 2.9 vs 10.8 s, 800x900 3.3 vs 6.2 s, 1200x1400 8.5 vs
+        15.2 s for groups 1 vs 8; scripts/exp_batch_crossover.py).
+        Batched convergence is also composition-fragile on
+        ill-conditioned fields: cases that solve to 3e-7 alone (and
+        under any perturbation) exit at 3e-3 inside batches of >= 4 —
+        still inside the 5e-3 safety net, but strictly worse
+        (docs/DESIGN.md "Round 5: the batched-solve reversal").
+        Explicit ``potential_batch > 1`` keeps the vmapped path
+        available, bounded by the ~200 B/cell/case memory envelope."""
         pb = int(self.potential_batch)
-        if pb == 1:
+        if pb <= 1:
             return 1
         cells = int(np.prod(self.gridsize))
-        auto = max(1, min(8, int(3.5e9 // (cells * 200))))
-        return pb if pb > 1 else auto
+        return max(1, min(pb, int(3.5e9 // (cells * 200))))
 
     def begin_directional_potentials(self, items):
         """Multi-case prep: cache-check every ``(updraft, case_id,
         real_id)`` item and dispatch the uncached solves as BATCHED
         vmapped refined-solve programs in power-of-two groups (see
-        ``solve_potential_refined_batch``: one small-grid solve is
-        latency-bound, so C cases per program is measured ~3x faster
-        than C back-to-back solves at the 500x600 flagship). Returns
+        ``solve_potential_refined_batch`` — explicit-opt-in only since
+        the round-5 reversal: sequential pipelined solves measure
+        faster at every grid tried). Returns
         one :meth:`finish_directional_potential` handle per item, in
         order; the per-case residual/fallback policy is unchanged
         (each batched case finishes through the same handle kind)."""
@@ -690,26 +698,32 @@ class Simulator(PlottingMixin, Config):
         cases — the reference loops these serially through its pool
         (ssrs/simulator.py:348-386)."""
         import jax.numpy as jnp
-        from .agents import directional_probs, prepared_weights
+        from .agents import directional_probs, prepared_weights_batch
         from .agents.simulate import simulate_presence_cases_compacting
 
         dirp = jnp.asarray(directional_probs(float(self.track_direction)))
-        tables, keys = [], []
+        ups, pots, keys = [], [], []
         for case_id, real_id, updraft, potential in work:
             if updraft is None:
                 # drw: a zero table never wins over the directional
                 # fallback; emulate by an all-ones updraft + flat
                 # potential so base weights are uniform*0 -> use dirp
-                tables.append(prepared_weights(
-                    np.ones(self.gridsize, np.float32),
-                    np.zeros(self.gridsize, np.float32), dirp,
-                    params.weight_dtype))
+                ups.append(np.ones(self.gridsize, np.float32))
+                pots.append(np.zeros(self.gridsize, np.float32))
             else:
-                tables.append(prepared_weights(
-                    np.asarray(updraft), np.asarray(potential), dirp,
-                    params.weight_dtype))
+                ups.append(np.asarray(updraft, np.float32))
+                pots.append(np.asarray(potential, np.float32))
             keys.append(case_key(self.sim_seed, case_id, real_id,
                                  'tracks'))
+        # all C tables in one dispatch (the eager per-case loop paid C
+        # tunnel RTTs + C compiles-or-launches; warm, the remaining
+        # wall is the ~160 MB host->device upload of the materialized
+        # potentials — 6.2 s for 24 Appalachian-size cases,
+        # scripts/bench_seasonal.py)
+        tables = prepared_weights_batch(
+            jnp.asarray(np.stack(ups)), jnp.asarray(np.stack(pots)),
+            jnp.broadcast_to(dirp, (len(work), 9)),
+            params.weight_dtype)
         print(f'Simulating {len(work)} cases x {self.track_count} '
               'tracks (batched)..', end='', flush=True)
         start_time = time.time()
@@ -849,14 +863,19 @@ class Simulator(PlottingMixin, Config):
         aspect = self.get_terrain_aspect().astype(np.float32)
         speed = float(self.uniform_windspeed) * np.ones(self.gridsize,
                                                         np.float32)
+        # all directions' orographs in one dispatch (round 5: the eager
+        # per-direction loop paid a tunnel RTT per case)
+        import jax.numpy as jnp
+        oros = jax.vmap(lambda d: compute_orographic_updraft(
+            jnp.asarray(speed), d * jnp.ones(self.gridsize, jnp.float32),
+            jnp.asarray(slope), jnp.asarray(aspect)))(
+                jnp.asarray([float(d) for d in wind_dirns]))
+        oros = np.asarray(oros, np.float32)
         new_cases = []
-        for dirn in wind_dirns:
-            orograph = compute_orographic_updraft(
-                speed, float(dirn) * np.ones(self.gridsize, np.float32),
-                slope, aspect)
+        for i, dirn in enumerate(wind_dirns):
             case_id = f's{int(self.uniform_windspeed)}d{int(dirn)}'
             fname = self._get_orograph_fname(case_id, self.mode_data_dir)
-            np.save(f'{fname}.npy', np.asarray(orograph, np.float32))
+            np.save(f'{fname}.npy', oros[i])
             new_cases.append(case_id)
         self.case_ids = new_cases
         starting_rows, starting_cols = get_starting_indices(

@@ -36,6 +36,25 @@ def test_prepared_weights_auto_resolves_by_grid(rng):
     assert prepared_weights(big, potb, dirp, 'auto').dtype == jnp.bfloat16
 
 
+def test_prepared_weights_batch_matches_per_case(rng):
+    """One-dispatch multi-case table build == per-case builds."""
+    from ssrs_tpu.agents import prepared_weights_batch
+    grid = (30, 40)
+    ups = np.stack([(0.5 + rng.random(grid)).astype(np.float32)
+                    for _ in range(3)])
+    pots = np.stack([(np.linspace(100. * (i + 1), 0., grid[0])[:, None]
+                      * np.ones((1, grid[1]), np.float32))
+                     for i in range(3)])
+    dirps = np.stack([directional_probs(d) for d in (0., 90., 215.)])
+    batch = prepared_weights_batch(jnp.asarray(ups), jnp.asarray(pots),
+                                   jnp.asarray(dirps), 'float32')
+    for i in range(3):
+        one = prepared_weights(jnp.asarray(ups[i]), jnp.asarray(pots[i]),
+                               jnp.asarray(dirps[i]), 'float32')
+        np.testing.assert_array_equal(np.asarray(batch[i]),
+                                      np.asarray(one))
+
+
 def _odd_setup(rng, n=1000):
     grid = (48, 56)
     up = (0.5 + rng.random(grid)).astype(np.float32)

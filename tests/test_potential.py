@@ -521,3 +521,47 @@ def test_batched_refined_solve_matches_single():
         # f32 reduction-order noise (bit-identical when the padded
         # buckets match the single-case ones, as measured)
         assert np.abs(pots_b[i] - np.asarray(pot)).max() < 0.05
+
+
+def test_stacked_hierarchy_restrides_mixed_widths(rng):
+    """Batched tile routing with per-case ADAPTIVE DENSE WIDTHS that
+    differ (round-5 fix): ``sidx`` entries are flat indices into the
+    case's own (T, Ld) dense layout, so widening Ld to the batch max
+    must re-stride them. A smooth case (minimum width) stacked with a
+    speckled case (grown width) exercises the restride; per-island sums
+    through the stacked hierarchy must equal each case's solo sums
+    (which the single-case oracle tests pin)."""
+    import jax.numpy as jnp
+    from ssrs_tpu.potential.lap import (_build_tile_hierarchy_host,
+                                        _stack_tile_hierarchies,
+                                        _tile_segsum)
+    shape = (96, 128)
+    num = 256
+    # case A: 3 large blobs (dense width stays at the minimum)
+    lab_a = np.zeros(shape, np.int32)
+    lab_a[10:40, 10:60] = 1
+    lab_a[50:90, 70:120] = 2
+    lab_a[5:20, 90:120] = 3
+    # case B: per-cell speckle over many labels -> most cells overflow
+    # the minimum dense width, forcing Ld to grow
+    lab_b = rng.integers(0, num - 1, shape).astype(np.int32)
+    bm = np.zeros(shape, bool)
+    h_a = _build_tile_hierarchy_host(lab_a, bm)
+    h_b = _build_tile_hierarchy_host(lab_b, bm)
+    assert h_b[0].slot_iota.shape[0] > h_a[0].slot_iota.shape[0], \
+        'speckle case must grow the dense width for this test to bite'
+    stacked = _stack_tile_hierarchies([h_a, h_b])[0]
+
+    x = rng.random(shape).astype(np.float32)
+    for i, lab in enumerate((lab_a, lab_b)):
+        got = np.asarray(_tile_segsum(
+            jnp.asarray(x), jnp.asarray(stacked.lidx[i]),
+            jnp.asarray(stacked.slot_iota[i]),
+            jnp.asarray(stacked.sidx[i]), jnp.asarray(stacked.sisland[i]),
+            num, jnp.asarray(stacked.ocell[i]),
+            jnp.asarray(stacked.oisland[i])))
+        # index 0 is the never-used background/padding sink
+        want = np.bincount(lab.ravel(), weights=x.ravel().astype(
+            np.float64), minlength=num)
+        np.testing.assert_allclose(got[1:], want[1:num], rtol=2e-5,
+                                   atol=1e-4, err_msg=f'case {i}')

@@ -256,15 +256,17 @@ def test_batched_potential_prep_matches_single(sim):
 
 
 def test_potential_batch_cap_policy(sim):
-    """Config.potential_batch: 0 = grid-sized auto, 1 = off, >1 =
-    explicit (power-of-two quantization happens at group time)."""
+    """Config.potential_batch: 0 = auto = OFF (round-5 reversal:
+    sequential pipelined solves measured faster at every grid,
+    scripts/exp_batch_crossover.py), 1 = off, >1 = explicit opt-in
+    bounded by the memory envelope."""
     orig = sim.potential_batch
     try:
         sim.potential_batch = 0
-        assert sim._potential_batch_cap() == 8   # 50x60 grid: tiny
+        assert sim._potential_batch_cap() == 1
         sim.potential_batch = 1
         assert sim._potential_batch_cap() == 1
         sim.potential_batch = 6
-        assert sim._potential_batch_cap() == 6
+        assert sim._potential_batch_cap() == 6   # 50x60 grid: tiny
     finally:
         sim.potential_batch = orig
