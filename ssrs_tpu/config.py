@@ -112,6 +112,16 @@ class Config:
     potential_batch: int = 0
     # device mesh: number of devices to shard agents over (0 = all local)
     mesh_devices: int = 0
+    # keep multi-case prep fields (thresholded conductivities, solved
+    # potentials) RESIDENT on device from the updraft dispatch through
+    # the weight-table build: host island labeling reads only a packed
+    # cond>0 bitmask (N/8 bytes vs 4N) and the weight tables consume
+    # the solver's device outputs directly, so the only full-field
+    # tunnel transfers left are the artifact .npy copies. False
+    # restores the host-materialized flow (A/B + debugging escape);
+    # artifacts and results are identical either way
+    # (tests/test_simulator.py::test_device_resident_fields_match_host)
+    fields_device: bool = True
     # storage dtype of the per-cell move-weight table: 'auto' (default)
     # keeps the reference's float32 working precision whenever the f32
     # table fits the gather's measured VMEM budget (~6 MB conservative

@@ -833,7 +833,11 @@ def island_labels(conductivity: np.ndarray, bmask: np.ndarray,
     1..K floating islands then weak plateaus; K).
     """
     from scipy import ndimage
-    pos = np.asarray(conductivity) > 0.
+    pos = np.asarray(conductivity)
+    # a bool input is an already-computed strong mask (the device-
+    # resident prep pulls cond > 0 as packed bits instead of the full
+    # f32 field — see strong_mask_host)
+    pos = pos if pos.dtype == np.bool_ else pos > 0.
     bmask = np.asarray(bmask, bool)
     structure = np.ones((3, 3), bool)
     lab, nlab = ndimage.label(pos, structure=structure)
@@ -951,7 +955,7 @@ def island_sound_mask(labels_np: np.ndarray, num: int) -> np.ndarray:
 def _solve_refined_core(conductivity, bmask, bvals, tiles, sound,
                         num_segments: int,
                         tol: float, maxcycles: int, refine: int,
-                        field_sharding=None):
+                        field_sharding=None, init=None):
     bmask = jnp.asarray(bmask, bool)
     bvals = jnp.asarray(bvals, jnp.float32)
     planes_t = weight_planes(conductivity)
@@ -967,7 +971,16 @@ def _solve_refined_core(conductivity, bmask, bvals, tiles, sound,
                               num_segments, field_sharding=field_sharding)
     top = levels[0]
     notb = top.notb
-    u0 = jnp.where(bmask, bvals, 500.)
+    u0_cold = jnp.where(bmask, bvals, 500.)
+    if init is None:
+        u0 = u0_cold
+    else:
+        # warm start (e.g. the previous direction's potential in a
+        # sweep — an unmaterialized device array chains solves without
+        # a host sync). Sanitized so a pathological prior solve can
+        # only cost iterations, never poison this one.
+        u0 = jnp.where(bmask, bvals,
+                       jnp.where(jnp.isfinite(init), init, 500.))
 
     # All norms are of the diagonally-SCALED residual D^-1 r: in plateau
     # rows (D ~ 8e-8) and island rows alike, the error has sensitivity
@@ -977,7 +990,10 @@ def _solve_refined_core(conductivity, bmask, bvals, tiles, sound,
     def scaled_norm(r_hi):
         return jnp.linalg.norm(r_hi * top.dinv)
 
-    scale = scaled_norm(-_apply_lap(planes_t, u0) * notb) + 1e-30
+    # convergence is always judged relative to the COLD start's
+    # residual, so tol/rrel semantics (and the 5e-3 fallback policy
+    # threshold) are identical with and without a warm start
+    scale = scaled_norm(-_apply_lap(planes_t, u0_cold) * notb) + 1e-30
     target = tol * scale
     # island level-error estimate |z^T r| / (z^T A z), potential units
     lev_target = jnp.float32(1e-4)
@@ -1152,8 +1168,32 @@ def solve_potential_refined_batch(conductivities, bmask, bvals,
         tiles, jnp.asarray(sound), num, tol, maxcycles, refine)
 
 
+@jax.jit
+def _packed_strong_mask(conductivity):
+    return jnp.packbits((conductivity > 0.).reshape(-1))
+
+
+def strong_mask_host(conductivity) -> np.ndarray:
+    """Host bool ``conductivity > 0`` mask for island labeling.
+
+    For a DEVICE-resident conductivity this pulls only packed bits
+    (N/8 bytes instead of 4N — the labeling is the one host consumer of
+    a multi-case prep's conductivities, and the full-field pull was the
+    measured bound of the Appalachian sweep's updraft phase: ~160 MB /
+    9.6 s for 24 cases, docs/DESIGN.md "Round 5: the Appalachian
+    end-to-end"). Host arrays take the plain comparison."""
+    if isinstance(conductivity, jax.Array) and \
+            not isinstance(conductivity, np.ndarray):
+        shape = conductivity.shape
+        packed = np.asarray(_packed_strong_mask(conductivity))
+        n = int(np.prod(shape))
+        return np.unpackbits(packed, count=n).astype(bool).reshape(shape)
+    return np.asarray(conductivity) > 0.
+
+
 def solve_potential_refined(conductivity, bmask, bvals, tol: float = 1e-7,
-                            maxcycles: int = 60, refine: int = 30):
+                            maxcycles: int = 60, refine: int = 30,
+                            init=None):
     """Solve the reference directional-potential system on device to f64-
     oracle accuracy (validated in tests/test_potential.py). Returns
     (potential float32 (nrow, ncol), relative residual scalar).
@@ -1161,9 +1201,16 @@ def solve_potential_refined(conductivity, bmask, bvals, tol: float = 1e-7,
     Host work per solve is one ``scipy.ndimage.label`` pass plus the
     vectorized tile-dictionary build; the weight planes, the whole
     Galerkin hierarchy, and the solve run in a single jit (compiled once
-    per (shape, island-bucket, slot-bucket) tuple)."""
+    per (shape, island-bucket, slot-bucket) tuple). ``conductivity``
+    may be a device array: only its packed cond>0 bits are pulled to
+    host (strong_mask_host) and the field itself feeds the jit without
+    a host round trip. ``init`` optionally warm-starts the refinement
+    (convergence is still judged against the cold start's residual, so
+    rrel semantics are unchanged); an unmaterialized device array —
+    e.g. the previous direction's potential in a sweep — chains solves
+    without a host sync."""
     bmask_np = np.asarray(bmask, bool)
-    labels_np, k = island_labels(np.asarray(conductivity), bmask_np)
+    labels_np, k = island_labels(strong_mask_host(conductivity), bmask_np)
     # quantize the segment count in powers of 4 so recompiles are rare
     # across fields (num only sizes (num,)-length vectors)
     num = 256
@@ -1174,4 +1221,4 @@ def solve_potential_refined(conductivity, bmask, bvals, tol: float = 1e-7,
         jnp.asarray(conductivity, jnp.float32), jnp.asarray(bmask_np),
         jnp.asarray(bvals, jnp.float32), tiles,
         jnp.asarray(island_sound_mask(labels_np, num)), num,
-        tol, maxcycles, refine)
+        tol, maxcycles, refine, None, init)

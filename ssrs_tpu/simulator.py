@@ -273,10 +273,14 @@ class Simulator(PlottingMixin, Config):
         else:
             print('No thermals requested!', flush=True)
 
-    def load_updrafts(self, case_id: str, apply_threshold: bool = True
-                      ) -> List[np.ndarray]:
+    def load_updrafts(self, case_id: str, apply_threshold: bool = True,
+                      device: bool = False) -> List[np.ndarray]:
         """Orographic [+ thermal] updrafts, optionally thresholded
-        (ssrs/simulator.py:230-243)."""
+        (ssrs/simulator.py:230-243). With ``device=True`` the
+        thresholded fields are returned as device arrays (the threshold
+        runs on device either way; this skips the host pull so a
+        multi-case prep can keep its conductivities resident —
+        Config.fields_device)."""
         fname = self._get_orograph_fname(case_id, self.mode_data_dir)
         orograph = np.load(f'{fname}.npy')
         updrafts = [orograph]
@@ -285,8 +289,10 @@ class Simulator(PlottingMixin, Config):
                                             self.mode_data_dir)
             updrafts.append(orograph + np.load(f'{fname}.npy'))
         if apply_threshold:
-            updrafts = [np.asarray(get_above_threshold_speed(
-                ix, self.updraft_threshold)) for ix in updrafts]
+            thresholded = [get_above_threshold_speed(
+                ix, self.updraft_threshold) for ix in updrafts]
+            updrafts = thresholded if device else \
+                [np.asarray(ix) for ix in thresholded]
         return updrafts
 
     def _get_orograph_fname(self, case_id: str, dirname: str = './'):
@@ -333,7 +339,9 @@ class Simulator(PlottingMixin, Config):
         if state is not None:
             return state
         start_time = time.time()
-        handle = self._begin_potential_solve(np.asarray(updraft))
+        if not isinstance(updraft, jax.Array):
+            updraft = np.asarray(updraft)
+        handle = self._begin_potential_solve(updraft)
         return ('solve', handle, fname, id_str, start_time)
 
     def _potential_batch_cap(self) -> int:
@@ -430,19 +438,29 @@ class Simulator(PlottingMixin, Config):
         artifact. Under pipelining the printed wall includes the
         overlapped device time (it is the same wall a serial caller
         would have seen)."""
+        return self._finish_directional_potential_pair(state)[0]
+
+    def _finish_directional_potential_pair(self, state):
+        """finish_directional_potential, returning ``(host, device)``:
+        the host array backs the ``.npy`` artifact (and the fallback
+        path), while the device array — None for cached/fallback
+        results — lets the batched weight-table build skip the
+        host→device re-upload of fields the solver just produced
+        (the measured bound of the Appalachian sweep's table phase:
+        ~160 MB / 6.2 s for 24 cases, docs/DESIGN.md)."""
         kind, payload, fname, id_str, start_time = state
         if kind == 'cached':
-            potential = payload
+            potential, dev = payload, None
         else:
-            potential = self._finish_potential_solve(payload)
+            potential, dev = self._finish_potential_solve_pair(payload)
             print(f'{id_str}: Computing potential..'
                   f'took {elapsed_str(start_time)}', flush=True)
             np.save(f'{fname}.npy', potential.astype(np.float32))
         if np.isnan(potential).any():
             print('NANs found in potential!')
-        return potential
+        return potential, dev
 
-    def _prepare_potentials(self, items):
+    def _prepare_potentials(self, items, pairs: bool = False):
         """Potentials for a list of ``(case_id, real_id, updraft)`` work
         items, in order. Where the batched vmapped solve applies
         (refined solver, batch cap > 1, >1 item) the items run through
@@ -450,7 +468,13 @@ class Simulator(PlottingMixin, Config):
         most ``4 * cap`` unmaterialized potentials parked on device);
         otherwise the per-case pipelined dispatch with the bounded
         finish depth (3, or 1 past 4096^2 where the solve runs near the
-        HBM ceiling — docs/DESIGN.md "COO deflation")."""
+        HBM ceiling — docs/DESIGN.md "COO deflation").
+
+        With ``pairs=True`` every element is ``(host, device-or-None)``
+        (see :meth:`_finish_directional_potential_pair`); otherwise
+        plain host arrays."""
+        finish = (self._finish_directional_potential_pair if pairs
+                  else self.finish_directional_potential)
         out = [None] * len(items)
         solver = (self.potential_solver or 'auto').lower()
         cap = self._potential_batch_cap()
@@ -461,8 +485,7 @@ class Simulator(PlottingMixin, Config):
                 handles = self.begin_directional_potentials(
                     [(upd, cid, rid) for cid, rid, upd in win])
                 for k, handle in enumerate(handles):
-                    out[w0 + k] = self.finish_directional_potential(
-                        handle)
+                    out[w0 + k] = finish(handle)
             return out
         depth = 3 if int(np.prod(self.gridsize)) <= 4096 * 4096 else 1
         pending = []
@@ -471,11 +494,10 @@ class Simulator(PlottingMixin, Config):
             pending.append(self.begin_directional_potential(upd, cid,
                                                             rid))
             if len(pending) >= depth:
-                out[done] = self.finish_directional_potential(
-                    pending.pop(0))
+                out[done] = finish(pending.pop(0))
                 done += 1
         while pending:
-            out[done] = self.finish_directional_potential(pending.pop(0))
+            out[done] = finish(pending.pop(0))
             done += 1
         return out
 
@@ -519,9 +541,14 @@ class Simulator(PlottingMixin, Config):
         return ('refined', (conductivity, pot, resid))
 
     def _finish_potential_solve(self, handle) -> np.ndarray:
+        return self._finish_potential_solve_pair(handle)[0]
+
+    def _finish_potential_solve_pair(self, handle):
+        """(host potential, device potential or None) — see
+        :meth:`_finish_directional_potential_pair`."""
         kind, payload = handle
         if kind == 'done':
-            return payload
+            return payload, None
         conductivity, pot, resid = payload
         # SuperLU-parity safety net: the device solver reports its
         # D^-1-scaled relative residual honestly; normal exits are
@@ -564,9 +591,9 @@ class Simulator(PlottingMixin, Config):
                   f'direct solver (estimated ~{est_s:.0f} s / '
                   f'~{est_gb:.1f} GB at {unknowns} unknowns)..',
                   flush=True)
-            return solve_potential_direct(conductivity,
-                                          self.track_direction)
-        return np.asarray(pot)
+            return solve_potential_direct(np.asarray(conductivity),
+                                          self.track_direction), None
+        return np.asarray(pot), pot
 
     def _get_id_string(self, case_id: str, real_id: Optional[int] = None):
         """Artifact id (ssrs/simulator.py:290-298)."""
@@ -648,18 +675,23 @@ class Simulator(PlottingMixin, Config):
         # enumerate all (case, realization, fields) work items; the
         # potential solves go through _prepare_potentials (batched
         # vmapped groups where they apply, bounded-depth pipelined
-        # dispatch otherwise)
+        # dispatch otherwise). With Config.fields_device the
+        # conductivities stay device-resident (host labeling reads
+        # packed bits) and the potential entries are (host, device)
+        # pairs so the batched table build skips re-uploads.
+        dev_fields = bool(self.fields_device)
         work = []
         items = []
         for case_id in self.case_ids:
-            updrafts = self.load_updrafts(case_id, apply_threshold=True)
+            updrafts = self.load_updrafts(case_id, apply_threshold=True,
+                                          device=dev_fields)
             for real_id, updraft in enumerate(updrafts):
                 if self.movement_model == 'fluidflow':
                     items.append((case_id, real_id, updraft))
                 else:
                     work.append((case_id, real_id, None, None))
         if items:
-            pots = self._prepare_potentials(items)
+            pots = self._prepare_potentials(items, pairs=True)
             work = [(cid, rid, upd, pot)
                     for (cid, rid, upd), pot in zip(items, pots)]
 
@@ -667,7 +699,8 @@ class Simulator(PlottingMixin, Config):
             self._simulate_batched(params, starts, work)
             return
 
-        for case_id, real_id, sim_updraft, sim_potential in work:
+        for case_id, real_id, sim_updraft, pot_pair in work:
+            sim_potential = pot_pair[0] if pot_pair is not None else None
             id_str = self._get_id_string(case_id, real_id)
             key = case_key(self.sim_seed, case_id, real_id, 'tracks')
             print(f'{id_str}: Simulating {self.track_count} tracks..',
@@ -703,25 +736,31 @@ class Simulator(PlottingMixin, Config):
 
         dirp = jnp.asarray(directional_probs(float(self.track_direction)))
         ups, pots, keys = [], [], []
-        for case_id, real_id, updraft, potential in work:
+        for case_id, real_id, updraft, pot_pair in work:
             if updraft is None:
                 # drw: a zero table never wins over the directional
                 # fallback; emulate by an all-ones updraft + flat
                 # potential so base weights are uniform*0 -> use dirp
-                ups.append(np.ones(self.gridsize, np.float32))
-                pots.append(np.zeros(self.gridsize, np.float32))
+                ups.append(jnp.ones(tuple(self.gridsize), jnp.float32))
+                pots.append(jnp.zeros(tuple(self.gridsize), jnp.float32))
             else:
-                ups.append(np.asarray(updraft, np.float32))
-                pots.append(np.asarray(potential, np.float32))
+                # device-resident fields feed the table build without a
+                # host round trip; host arrays (cached artifacts,
+                # fallback results, fields_device=False) upload here
+                ups.append(jnp.asarray(updraft, jnp.float32))
+                host, dev = pot_pair
+                pots.append(dev if dev is not None
+                            else jnp.asarray(np.asarray(host, np.float32)))
             keys.append(case_key(self.sim_seed, case_id, real_id,
                                  'tracks'))
         # all C tables in one dispatch (the eager per-case loop paid C
-        # tunnel RTTs + C compiles-or-launches; warm, the remaining
-        # wall is the ~160 MB host->device upload of the materialized
-        # potentials — 6.2 s for 24 Appalachian-size cases,
-        # scripts/bench_seasonal.py)
+        # tunnel RTTs + C compiles-or-launches; with device-resident
+        # fields the build reads the solver's own outputs — the
+        # host-materialized flow additionally paid a ~160 MB
+        # host->device re-upload here, 6.2 s for 24 Appalachian-size
+        # cases, scripts/bench_seasonal.py)
         tables = prepared_weights_batch(
-            jnp.asarray(np.stack(ups)), jnp.asarray(np.stack(pots)),
+            jnp.stack(ups), jnp.stack(pots),
             jnp.broadcast_to(dirp, (len(work), 9)),
             params.weight_dtype)
         print(f'Simulating {len(work)} cases x {self.track_count} '
@@ -864,19 +903,43 @@ class Simulator(PlottingMixin, Config):
         speed = float(self.uniform_windspeed) * np.ones(self.gridsize,
                                                         np.float32)
         # all directions' orographs in one dispatch (round 5: the eager
-        # per-direction loop paid a tunnel RTT per case)
+        # per-direction loop paid a tunnel RTT per case); with
+        # Config.fields_device the thresholded conductivities are
+        # computed in the same dispatch and stay device-resident for
+        # the solver + weight-table build — only the orograph artifact
+        # copies cross the tunnel
         import jax.numpy as jnp
-        oros = jax.vmap(lambda d: compute_orographic_updraft(
+        dev_fields = bool(self.fields_device) and \
+            self.movement_model == 'fluidflow'
+        oros_dev = jax.vmap(lambda d: compute_orographic_updraft(
             jnp.asarray(speed), d * jnp.ones(self.gridsize, jnp.float32),
             jnp.asarray(slope), jnp.asarray(aspect)))(
                 jnp.asarray([float(d) for d in wind_dirns]))
-        oros = np.asarray(oros, np.float32)
-        new_cases = []
-        for i, dirn in enumerate(wind_dirns):
-            case_id = f's{int(self.uniform_windspeed)}d{int(dirn)}'
-            fname = self._get_orograph_fname(case_id, self.mode_data_dir)
-            np.save(f'{fname}.npy', oros[i])
-            new_cases.append(case_id)
+        conds_dev = jax.vmap(lambda o: get_above_threshold_speed(
+            o, self.updraft_threshold))(oros_dev) if dev_fields else None
+        new_cases = [f's{int(self.uniform_windspeed)}d{int(d)}'
+                     for d in wind_dirns]
+
+        def save_orographs():
+            oros = np.asarray(oros_dev, np.float32)
+            for i, case_id in enumerate(new_cases):
+                fname = self._get_orograph_fname(case_id,
+                                                 self.mode_data_dir)
+                np.save(f'{fname}.npy', oros[i])
+
+        if dev_fields:
+            # request the artifact copy asynchronously and materialize
+            # it AFTER the potential prep below: the ~C*4N-byte tunnel
+            # pull streams while the device runs the solves (nothing in
+            # the device-resident prep re-reads the .npy artifacts)
+            try:
+                oros_dev.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+        else:
+            # the host flow reloads the artifacts via load_updrafts, so
+            # they must exist before the work items are built
+            save_orographs()
         self.case_ids = new_cases
         starting_rows, starting_cols = get_starting_indices(
             int(self.track_count), list(self.track_start_region),
@@ -890,17 +953,19 @@ class Simulator(PlottingMixin, Config):
         # the same solver executables — batched groups included)
         work = []
         items = []
-        for case_id in new_cases:
-            updraft = self.load_updrafts(case_id,
-                                         apply_threshold=True)[0]
+        for i, case_id in enumerate(new_cases):
             if self.movement_model == 'fluidflow':
+                updraft = conds_dev[i] if dev_fields else \
+                    self.load_updrafts(case_id, apply_threshold=True)[0]
                 items.append((case_id, 0, updraft))
             else:
                 work.append((case_id, 0, None, None))
         if items:
-            pots = self._prepare_potentials(items)
+            pots = self._prepare_potentials(items, pairs=True)
             work = [(cid, rid, upd, pot)
                     for (cid, rid, upd), pot in zip(items, pots)]
+        if dev_fields:
+            save_orographs()
         self._simulate_batched(params, starts, work)
         self._dump_phase_timings()
         return new_cases

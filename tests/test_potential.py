@@ -156,6 +156,52 @@ def test_refined_device_solver_matches_oracle_hard(dirn):
     assert float(rrel) < 1e-5
 
 
+def test_refined_solver_device_conductivity_matches_host():
+    """A device-array conductivity (the fields_device prep path) must
+    produce the bitwise-identical solve: only the packed cond>0 bits
+    cross to host for labeling (strong_mask_host), everything else is
+    the same executable on the same values."""
+    import jax.numpy as jnp
+    from ssrs_tpu.potential.lap import strong_mask_host
+    shape = (24, 30)
+    cond = _conductivity_hard(shape, seed=3)
+    bmask, bvals = boundary_masks(0., shape)
+    np.testing.assert_array_equal(strong_mask_host(jnp.asarray(cond)),
+                                  cond > 0.)
+    got_h, rrel_h = solve_potential_refined(cond, bmask, bvals)
+    got_d, rrel_d = solve_potential_refined(jnp.asarray(cond), bmask,
+                                            bvals)
+    np.testing.assert_array_equal(np.asarray(got_h), np.asarray(got_d))
+    assert float(rrel_h) == float(rrel_d)
+
+
+def test_refined_solver_warm_start_matches_cold():
+    """A warm-started refinement (init=some other case's potential)
+    must converge to the same answer within the solver's tolerance —
+    rrel is judged against the COLD start's residual either way, so
+    the fallback-policy semantics are unchanged. Also pins that a
+    non-finite init is sanitized rather than poisoning the solve."""
+    import jax.numpy as jnp
+    shape = (48, 52)
+    cond_a = _conductivity_hard(shape, seed=7)
+    cond_b = _conductivity_hard(shape, seed=8)
+    bmask, bvals = boundary_masks(0., shape)
+    pot_a, _ = solve_potential_refined(cond_a, bmask, bvals)
+    cold, rrel_cold = solve_potential_refined(cond_b, bmask, bvals)
+    warm, rrel_warm = solve_potential_refined(cond_b, bmask, bvals,
+                                              init=pot_a)
+    assert float(rrel_warm) < 1e-5
+    assert np.abs(np.asarray(warm, np.float64)
+                  - np.asarray(cold, np.float64)).max() < 1e-2
+    bad = jnp.asarray(np.where(np.arange(shape[0] * shape[1])
+                               .reshape(shape) % 7 == 0,
+                               np.nan, 250.).astype(np.float32))
+    warm2, rrel2 = solve_potential_refined(cond_b, bmask, bvals,
+                                           init=bad)
+    assert float(rrel2) < 1e-5
+    assert np.isfinite(np.asarray(warm2)).all()
+
+
 def test_refined_device_solver_matches_oracle_at_scale():
     """Same, at 460x460 = 211k nodes (> the 200k-node point where the
     round-1 'auto' policy had to fall back to host scipy)."""

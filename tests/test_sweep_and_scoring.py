@@ -48,6 +48,35 @@ def test_direction_sweep(sweep_sim):
     assert recs[0]['useful_steps'] == total - 4 * 300
 
 
+def test_device_resident_fields_match_host(tmp_path):
+    """Config.fields_device keeps conductivities/potentials on device
+    through the sweep prep (host labeling reads packed bits, the table
+    build reads solver outputs); artifacts must be bitwise identical to
+    the host-materialized flow."""
+    def run(fields_device, name):
+        cfg = Config(
+            run_name=name, out_dir=str(tmp_path), sim_mode='uniform',
+            sim_seed=5, southwest_lonlat=(-106.21, 42.78),
+            region_width_km=(8., 6.), resolution=200., track_count=300,
+            track_start_region=(1., 7., 1., 2.), track_max_steps=150,
+            movement_model='fluidflow', fields_device=fields_device)
+        s = Simulator(cfg)
+        cases = s.simulate_direction_sweep([0., 90.])
+        arts = {}
+        for c in cases:
+            base = f'{c}_d0_t75_fluidflow_r0'
+            for kind in ('counts', 'potential'):
+                arts[f'{base}_{kind}'] = np.load(os.path.join(
+                    s.mode_data_dir, f'{base}_{kind}.npy'))
+        return arts
+
+    dev = run(True, 'dev_fields')
+    host = run(False, 'host_fields')
+    assert dev.keys() == host.keys()
+    for k in dev:
+        np.testing.assert_array_equal(dev[k], host[k], err_msg=k)
+
+
 def test_turbine_presence_scores(tmp_path, monkeypatch):
     import ssrs_tpu.simulator as sim_mod
     from ssrs_tpu.data import TurbinesUSWTB as RealTB
