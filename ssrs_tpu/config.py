@@ -90,7 +90,14 @@ class Config:
     presence_accumulator: str = 'scan-scatter'
     # iterative potential-solver controls
     potential_solver: str = 'auto'  # auto, bicgstab, multigrid, dense
-    potential_tol: float = 1e-6
+    # scaled-residual convergence target for the device potential
+    # solvers (refined and mg paths both honor it). 1e-7 is the
+    # measured deep-convergence setting behind the f64-oracle parity
+    # claims (solves typically exit at the ~2e-6 f32 floor via the
+    # stall guards anyway); loosening to 1e-5..1e-4 trades potential
+    # accuracy for prep wall on sweep workloads — see docs/DESIGN.md
+    # for the measured trade before relying on it
+    potential_tol: float = 1e-7
     potential_maxiter: int = 0  # <=0 chooses a grid-dependent default
     # stall-fallback size cap: if the device solver stalls (rrel >
     # 5e-3, never observed on realistic fields) the f64 SuperLU

@@ -424,7 +424,8 @@ class Simulator(PlottingMixin, Config):
             # the last field (the padded lanes' results are dropped)
             conds_in = conds + [conds[-1]] * (b - len(group))
             pots, resids = solve_potential_refined_batch(
-                conds_in, bmask, bvals, maxcycles=maxiter)
+                conds_in, bmask, bvals, tol=float(self.potential_tol),
+                maxcycles=maxiter)
             for j, (i, _, fname, id_str) in enumerate(group):
                 states[i] = ('solve',
                              ('refined', (conds[j], pots[j], resids[j])),
@@ -535,7 +536,8 @@ class Simulator(PlottingMixin, Config):
         maxiter = self.potential_maxiter if self.potential_maxiter > 0 \
             else 60
         pot, resid = solve_potential_refined(
-            conductivity, bmask, bvals, maxcycles=maxiter)
+            conductivity, bmask, bvals, tol=float(self.potential_tol),
+            maxcycles=maxiter)
         # pot/resid are unmaterialized device arrays: the solve runs
         # while the caller dispatches the next case's prep (pipelining)
         return ('refined', (conductivity, pot, resid))

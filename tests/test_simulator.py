@@ -193,6 +193,26 @@ def test_potential_fallback(sim, monkeypatch, capsys):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
+def test_potential_tol_threads_to_refined_solver(sim, monkeypatch):
+    """Config.potential_tol must reach the production refined solver
+    (it was silently ignored on that path before round 5 — only the
+    legacy 'mg' branch honored it)."""
+    import ssrs_tpu.potential as pot_mod
+
+    seen = {}
+
+    def fake_solve(cond, bmask, bvals, tol=1e-7, maxcycles=60, **kw):
+        seen['tol'] = tol
+        return np.zeros(sim.gridsize, np.float32), 1e-9
+
+    monkeypatch.setattr(pot_mod, 'solve_potential_refined', fake_solve)
+    monkeypatch.setattr(sim, 'potential_tol', 3e-4)
+    rng = np.random.default_rng(0)
+    cond = rng.random(sim.gridsize).astype(np.float32)
+    sim._solve_potential(cond)
+    assert seen['tol'] == 3e-4
+
+
 def test_potential_fallback_size_cap(sim, monkeypatch):
     """Scale-aware stall policy (VERDICT r3 item 3): above
     Config.potential_fallback_max_unknowns a stall raises with the
