@@ -101,6 +101,36 @@ def test_sweep_rerun_hits_potential_cache(sweep_sim, capsys):
         np.testing.assert_array_equal(first[c], second[c], err_msg=c)
 
 
+def test_fluidflow_thermals_batched_device_matches_host(tmp_path):
+    """The batched multi-realization fluidflow path (thermal
+    realizations > 0, track_pkl_budget=0 so the interleaved multi-case
+    driver runs) must also be bitwise identical between the
+    device-resident and host-materialized prep flows."""
+    def run(fields_device, name):
+        cfg = Config(
+            run_name=name, out_dir=str(tmp_path), sim_mode='uniform',
+            sim_seed=6, southwest_lonlat=(-106.21, 42.78),
+            region_width_km=(8., 6.), resolution=200., track_count=200,
+            track_start_region=(1., 7., 1., 2.), track_max_steps=120,
+            movement_model='fluidflow', thermals_realization_count=2,
+            track_pkl_budget=0, fields_device=fields_device)
+        s = Simulator(cfg)
+        s.simulate_tracks()
+        arts = {}
+        for c in s.case_ids:
+            for r in range(3):   # orograph + 2 thermal realizations
+                base = f'{c}_d0_t75_fluidflow_r{r}'
+                arts[base] = np.load(os.path.join(
+                    s.mode_data_dir, f'{base}_counts.npy'))
+        return arts
+
+    dev = run(True, 'th_dev')
+    host = run(False, 'th_host')
+    assert dev.keys() == host.keys() and len(dev) == 3
+    for k in dev:
+        np.testing.assert_array_equal(dev[k], host[k], err_msg=k)
+
+
 def test_turbine_presence_scores(tmp_path, monkeypatch):
     import ssrs_tpu.simulator as sim_mod
     from ssrs_tpu.data import TurbinesUSWTB as RealTB
