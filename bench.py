@@ -133,23 +133,48 @@ def main():
 
     dirns_j = jnp.arange(8, dtype=jnp.float32) * 45.
 
-    @jax.jit
-    def updraft_sweep(ds):
-        # one dispatch for the whole direction sweep (the seasonal
-        # production pattern): per-call timing through the tunnel is
-        # ~150 ms of RTT around ~1 ms of compute
-        return jnp.sum(jax.vmap(updraft_for_dirn)(ds))
+    def updraft_sweeps(k):
+        # k chained sweeps in ONE dispatch (the seasonal production
+        # pattern is one dispatch per sweep): fori_loop iterations are
+        # sequential and the per-iteration direction offset defeats
+        # CSE, so (t_k - t_1)/(k-1) is the marginal device cost of one
+        # sweep with the tunnel RTT + sync overhead cancelled — the
+        # one-dispatch wall is ~150 ms of RTT around ~1 ms of compute,
+        # which buried the device number it used to report
+        @jax.jit
+        def run(ds):
+            def body(i, acc):
+                return acc + jnp.sum(jax.vmap(updraft_for_dirn)(
+                    ds + 1e-3 * i + 0. * acc))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.))
+        return run
 
+    # one sweep is ~0.3 ms of device work behind ~25 ms of tunnel
+    # RTT/sync, so the iteration gap must be large (128 extra sweeps)
+    # and each wall a min-of-3 for the subtraction to carry signal
+    K_MANY = 129
+    sweep1, sweep_many = updraft_sweeps(1), updraft_sweeps(K_MANY)
     progress('compiling updraft sweep')
-    np.asarray(updraft_sweep(dirns_j))  # compile
-    # np.asarray of a scalar depending on ALL outputs is the sync
-    # barrier: block_until_ready does not reliably sync on axon
-    t0 = time.perf_counter()
-    np.asarray(updraft_sweep(dirns_j))
-    dt_updraft = time.perf_counter() - t0
+    np.asarray(sweep1(dirns_j))  # compile
+    np.asarray(sweep_many(dirns_j))
+
+    def timed(fn):
+        # np.asarray of a scalar depending on ALL outputs is the sync
+        # barrier: block_until_ready does not reliably sync on axon
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(dirns_j))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt1 = timed(sweep1)
+    dt_many = timed(sweep_many)
+    dt_updraft = max(1e-9, (dt_many - dt1) / (K_MANY - 1))
     gridpoints_per_sec = 8 * nrow * ncol / dt_updraft
-    progress(f'updraft sweep warm: {dt_updraft:.3f}s '
-             f'({gridpoints_per_sec:.3g} gridpoints/s)')
+    progress(f'updraft sweep warm: marginal {dt_updraft * 1e3:.2f}ms '
+             f'(1-dispatch wall {dt1:.3f}s; '
+             f'{gridpoints_per_sec:.3g} gridpoints/s)')
 
     conductivity = updraft_for_dirn(270.)
 
