@@ -14,6 +14,15 @@ for the engine phase.
 Env: SW_GRID (default 500x600 @100 m), SW_DIRNS (default 8),
 SW_TRACKS (default 100000), SW_REPS (default 2: rep 0 warms every
 executable; later reps are the quotable warm numbers).
+
+Caveat at large grids: the offline SYNTHETIC terrain at big region
+extents (e.g. 1200x1400 @100 m = 140x120 km) produces dense-speckle
+conductivity fields that genuinely defeat the device solver on ~1/3
+of directions — each such case pays the ~100 s f64 fallback, which is
+correct (the flagged solves are off by O(100)/1000 vs the f64 oracle)
+but dominates the wall. See docs/DESIGN.md "the large-region
+synthetic-terrain stall class". The measured Appalachian captures use
+50 m resolution (70x60 km region at this grid), which does not stall.
 """
 
 import json
