@@ -170,9 +170,19 @@ def main():
 
     dt1 = timed(sweep1)
     dt_many = timed(sweep_many)
-    dt_updraft = max(1e-9, (dt_many - dt1) / (K_MANY - 1))
+    marginal = (dt_many - dt1) / (K_MANY - 1)
+    if marginal > 2e-5:   # gap must clear tunnel jitter to be a signal
+        dt_updraft = marginal
+        note = f'marginal {dt_updraft * 1e3:.2f}ms'
+    else:
+        # jitter swamped the subtraction this window — report the
+        # conservative RTT-bound one-dispatch wall rather than banking
+        # a nonsense rate into the capture record
+        dt_updraft = dt1
+        note = (f'marginal not resolvable ({marginal * 1e3:.2f}ms), '
+                'using 1-dispatch wall')
     gridpoints_per_sec = 8 * nrow * ncol / dt_updraft
-    progress(f'updraft sweep warm: marginal {dt_updraft * 1e3:.2f}ms '
+    progress(f'updraft sweep warm: {note} '
              f'(1-dispatch wall {dt1:.3f}s; '
              f'{gridpoints_per_sec:.3g} gridpoints/s)')
 

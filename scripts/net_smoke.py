@@ -167,8 +167,13 @@ def main():
             try:
                 detail = check()
                 results[name] = {'status': 'ok', **detail}
-            except (ImportError, FileNotFoundError, OSError) as exc:
-                # missing h5pyd / .hscfg / endpoint: environment, not code
+            except (ImportError, FileNotFoundError) as exc:
+                # missing module / .hscfg: environment, not code. HTTP
+                # and connection errors deliberately do NOT land here —
+                # requests exceptions subclass OSError, and classifying
+                # a live 500/refused-connection as 'skipped' would
+                # defeat the shakedown (it must flag protocol drift and
+                # dead endpoints, not bury them)
                 results[name] = {'status': 'skipped', 'reason': str(exc)}
             except Exception as exc:  # noqa: BLE001 — shakedown finding
                 results[name] = {'status': 'fail', 'error': repr(exc),

@@ -41,8 +41,7 @@ from .config import Config
 from .core.grid import Grid
 from .core.rng import case_key, root_key
 from .core.timing import PhaseTimer, elapsed_str
-from .agents import (TrackParams, get_starting_indices, simulate_presence,
-                     smooth_presence)
+from .agents import TrackParams, get_starting_indices
 from .agents.simulate import simulate_tracks_recorded
 from .fields import (compute_aspect_degrees, compute_orographic_updraft,
                      compute_slope_degrees, compute_thermals,
@@ -461,6 +460,22 @@ class Simulator(PlottingMixin, Config):
             print('NANs found in potential!')
         return potential, dev
 
+    def _device_fields_fit(self, n_fields: int) -> bool:
+        """Whether the device-resident prep (Config.fields_device) may
+        park ``n_fields`` conductivities AND potentials on the chip for
+        the whole prep. Past the guard the host-materialized flow runs
+        instead: parking defeats the bounded finish depth that exists
+        because large-grid solves run near the HBM ceiling (depth 1
+        past 4096^2 — see _prepare_potentials), so grids beyond that
+        boundary never park, and below it the resident set is capped at
+        ~1.5 GB (2 f32 fields per case)."""
+        if not bool(self.fields_device):
+            return False
+        cells = int(np.prod(self.gridsize))
+        if cells > 4096 * 4096:
+            return False
+        return cells * max(1, n_fields) * 8 <= 1_500_000_000
+
     def _prepare_potentials(self, items, pairs: bool = False):
         """Potentials for a list of ``(case_id, real_id, updraft)`` work
         items, in order. Where the batched vmapped solve applies
@@ -681,7 +696,9 @@ class Simulator(PlottingMixin, Config):
         # conductivities stay device-resident (host labeling reads
         # packed bits) and the potential entries are (host, device)
         # pairs so the batched table build skips re-uploads.
-        dev_fields = bool(self.fields_device)
+        n_fields = len(self.case_ids) * (
+            1 + int(self.thermals_realization_count))
+        dev_fields = self._device_fields_fit(n_fields)
         work = []
         items = []
         for case_id in self.case_ids:
@@ -851,21 +868,10 @@ class Simulator(PlottingMixin, Config):
         """Summary presence probability over all cases/realizations
         (the computation inside ``plot_presence_map``,
         ssrs/simulator.py:508-546), saved as summary_presence.npy."""
-        krad = min(max(radius / self.resolution, 2),
-                   min(self.gridsize) / 2)
+        krad = self._presence_kernel_radius(radius)
         summary_prob = np.zeros(self.gridsize, np.float64)
         for case_id in self.case_ids:
-            updrafts = self.load_updrafts(case_id, apply_threshold=True)
-            case_prob = np.zeros(self.gridsize, np.float64)
-            for real_id, _ in enumerate(updrafts):
-                counts = self.get_presence_counts(case_id, real_id)
-                prprob = np.asarray(
-                    smooth_presence(counts.astype(np.int32),
-                                    int(round(krad))))
-                prprob = prprob / np.amax(prprob)
-                case_prob += prprob
-            case_prob /= np.amax(case_prob)
-            summary_prob += case_prob
+            summary_prob += self._case_presence(case_id, krad)
         summary_prob /= np.amax(summary_prob)
         fname = os.path.join(self.mode_data_dir, 'summary_presence')
         np.save(f'{fname}.npy', summary_prob.astype(np.float32))
@@ -911,8 +917,8 @@ class Simulator(PlottingMixin, Config):
         # the solver + weight-table build — only the orograph artifact
         # copies cross the tunnel
         import jax.numpy as jnp
-        dev_fields = bool(self.fields_device) and \
-            self.movement_model == 'fluidflow'
+        dev_fields = self.movement_model == 'fluidflow' and \
+            self._device_fields_fit(len(wind_dirns))
         oros_dev = jax.vmap(lambda d: compute_orographic_updraft(
             jnp.asarray(speed), d * jnp.ones(self.gridsize, jnp.float32),
             jnp.asarray(slope), jnp.asarray(aspect)))(
@@ -963,11 +969,16 @@ class Simulator(PlottingMixin, Config):
             else:
                 work.append((case_id, 0, None, None))
         if items:
-            pots = self._prepare_potentials(items, pairs=True)
+            try:
+                pots = self._prepare_potentials(items, pairs=True)
+            finally:
+                # the deferred artifact copy must land even when a
+                # solve raises (e.g. the scale-aware fallback cap) —
+                # the host flow persisted the orographs before prep
+                if dev_fields:
+                    save_orographs()
             work = [(cid, rid, upd, pot)
                     for (cid, rid, upd), pot in zip(items, pots)]
-        if dev_fields:
-            save_orographs()
         self._simulate_batched(params, starts, work)
         self._dump_phase_timings()
         return new_cases
