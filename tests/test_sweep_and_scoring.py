@@ -101,6 +101,27 @@ def test_sweep_rerun_hits_potential_cache(sweep_sim, capsys):
         np.testing.assert_array_equal(first[c], second[c], err_msg=c)
 
 
+def test_device_fields_guard(sweep_sim):
+    """The device-resident prep must refuse to park case fields past
+    the HBM guard: never beyond 4096^2 (large-grid solves run near the
+    HBM ceiling — the bounded finish depth exists for that), and never
+    more than ~1.5 GB of resident conductivities+potentials."""
+    assert sweep_sim._device_fields_fit(4)
+    try:
+        real = sweep_sim.gridsize
+        sweep_sim.gridsize = (8192, 8192)
+        assert not sweep_sim._device_fields_fit(1)
+        sweep_sim.gridsize = (4096, 4096)
+        assert sweep_sim._device_fields_fit(2)
+        assert not sweep_sim._device_fields_fit(64)
+        sweep_sim.gridsize = real
+        sweep_sim.fields_device = False
+        assert not sweep_sim._device_fields_fit(1)
+    finally:
+        sweep_sim.gridsize = real
+        sweep_sim.fields_device = True
+
+
 def test_fluidflow_thermals_batched_device_matches_host(tmp_path):
     """The batched multi-realization fluidflow path (thermal
     realizations > 0, track_pkl_budget=0 so the interleaved multi-case
