@@ -47,6 +47,12 @@ T0 = time.perf_counter()
 DEADLINE = float(os.environ.get('SSRS_BENCH_DEADLINE', 540.))
 _EMITTED = False
 BEST = None  # best-so-far result dict, updated as phases complete
+# measurements from completed PRE-clock phases (updraft throughput,
+# potential solve): merged into the emitted detail even when the run
+# dies before any clock stage banks a headline number, so a timeout
+# during the track-engine compile still leaves every number measured
+# so far in the JSON of record
+PARTIAL = {}
 
 
 def elapsed():
@@ -74,7 +80,7 @@ def emit_and_exit(code=0):
             'metric': 'agent_steps_per_sec_per_chip', 'value': None,
             'unit': 'agent-steps/s', 'vs_baseline': None,
             'detail': {'error': 'no timed run completed',
-                       'elapsed_s': round(elapsed(), 1)},
+                       'elapsed_s': round(elapsed(), 1), **PARTIAL},
         }
         print(json.dumps(out), flush=True)
     sys.stdout.flush()
@@ -182,6 +188,7 @@ def main():
         note = (f'marginal not resolvable ({marginal * 1e3:.2f}ms), '
                 'using 1-dispatch wall')
     gridpoints_per_sec = 8 * nrow * ncol / dt_updraft
+    PARTIAL['updraft_gridpoints_per_sec'] = round(gridpoints_per_sec, 1)
     progress(f'updraft sweep warm: {note} '
              f'(1-dispatch wall {dt1:.3f}s; '
              f'{gridpoints_per_sec:.3g} gridpoints/s)')
@@ -208,6 +215,7 @@ def main():
             p = np.asarray(p)
             dt_potential = time.perf_counter() - t0
             pot = jnp.asarray(p)
+            PARTIAL['potential_solve_seconds'] = round(dt_potential, 3)
             progress(f'potential warm solve: {dt_potential:.3f}s')
         except Exception as exc:  # noqa: BLE001 — flat-field fallback
             progress(f'potential solve FAILED ({exc!r}) — flat fallback')
@@ -244,6 +252,12 @@ def main():
             valid=valid_dev, tail_bucket='auto')
         return presence, steps
 
+    if remaining() < 20.:
+        # no headline is reachable from here (the engine compile alone
+        # exceeds the budget) — emit what the pre-clock phases measured
+        progress('deadline too close for the engine compile — emitting '
+                 'partial result')
+        emit_and_exit(0)
     progress('compiling track engine (cold run: one executable per '
              'visited bucket rung + tail — the big compile surface)')
     presence, steps = run(jax.random.key(0))

@@ -104,7 +104,10 @@ def add_project_legend(fig, ax):
     column count scales with figure width. None when nothing is labeled."""
     if not ax.get_legend_handles_labels()[1]:
         return None
-    ncol = int(fig.get_size_inches()[0] // 2)
+    # the reference's int(w // 2) formula is kept, floored at 1: at
+    # figure widths under 2 in (tall narrow regions) ncol=0 crashes
+    # matplotlib's legend layout
+    ncol = max(1, int(fig.get_size_inches()[0] // 2))
     return ax.legend(bbox_to_anchor=STYLE['legend_anchor'], ncol=ncol,
                      loc='lower left', **STYLE['legend'])
 

@@ -62,8 +62,13 @@ class PlottingMixin:
 
     def _each_realization(self, case_id, apply_threshold=True):
         """Realization ids of a case (0 = orographic only; 1.. add
-        thermal realizations), sized by the stored updraft artifacts."""
-        return range(len(self.load_updrafts(case_id, apply_threshold)))
+        thermal realizations). Derived from config — loading every
+        updraft artifact (and running the device threshold) just to
+        count them cost megabytes of I/O plus device dispatches per
+        case on many-case runs; load_updrafts always yields
+        1 + thermals_realization_count fields (simulator.load_updrafts)."""
+        del case_id, apply_threshold
+        return range(1 + int(self.thermals_realization_count))
 
     # ---- terrain ---------------------------------------------------------
 
@@ -182,7 +187,16 @@ class PlottingMixin:
             for real_id in self._each_realization(case_id):
                 data_f = self._get_potential_fname(case_id, real_id,
                                                    self.mode_data_dir)
-                potential = np.load(f'{data_f}.npy')
+                try:
+                    potential = np.load(f'{data_f}.npy')
+                except FileNotFoundError:
+                    # same graceful skip as plot_simulated_tracks: a
+                    # realization without a materialized potential
+                    # (e.g. plots called before simulate) should not
+                    # abort the whole plotting pass
+                    print(f'{os.path.basename(data_f)}: no potential '
+                          'artifact, skipping plot', flush=True)
+                    continue
                 lvls = np.linspace(0., np.amax(potential),
                                    STYLE['potential_levels'])
                 fig_f = self._get_potential_fname(case_id, real_id,
@@ -259,6 +273,17 @@ class PlottingMixin:
         prob = np.asarray(smooth_presence(counts.astype(np.int32), krad))
         return prob / np.amax(prob)
 
+    def _finish_summary_presence(self, summary_prob: np.ndarray
+                                 ) -> np.ndarray:
+        """Normalize the accumulated summary and write the
+        ``summary_presence.npy`` artifact — the ONE definition of that
+        artifact, shared by plot_presence_map and
+        Simulator.compute_presence_map so the two paths cannot drift."""
+        summary_prob = summary_prob / np.amax(summary_prob)
+        fname = os.path.join(self.mode_data_dir, 'summary_presence')
+        np.save(f'{fname}.npy', summary_prob.astype(np.float32))
+        return summary_prob
+
     def _case_presence(self, case_id, krad: int, each=None):
         """Sum of a case's per-realization probabilities, max-normalized;
         ``each(real_id, prob)`` observes every realization layer."""
@@ -315,9 +340,7 @@ class PlottingMixin:
             self.save_fig(fig, os.path.join(self.mode_fig_dir, fname),
                           show)
 
-        summary_prob /= np.amax(summary_prob)
-        fname = os.path.join(self.mode_data_dir, 'summary_presence')
-        np.save(f'{fname}.npy', summary_prob.astype(np.float32))
+        summary_prob = self._finish_summary_presence(summary_prob)
         if len(self.case_ids) > 1:
             fig, _ = self._plot_presence(summary_prob, minval, plot_turbs)
             self.save_fig(fig, os.path.join(self.mode_fig_dir,

@@ -872,10 +872,7 @@ class Simulator(PlottingMixin, Config):
         summary_prob = np.zeros(self.gridsize, np.float64)
         for case_id in self.case_ids:
             summary_prob += self._case_presence(case_id, krad)
-        summary_prob /= np.amax(summary_prob)
-        fname = os.path.join(self.mode_data_dir, 'summary_presence')
-        np.save(f'{fname}.npy', summary_prob.astype(np.float32))
-        return summary_prob
+        return self._finish_summary_presence(summary_prob)
 
     def get_turbine_presence(self, radius: float = 1000.) -> 'object':
         """Turbine-conflict scores: relative presence density at each
