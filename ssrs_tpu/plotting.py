@@ -391,7 +391,11 @@ class PlottingMixin:
                     max(ylocs) - min(ylocs) + 2, **STYLE['turbine_box']))
 
     def save_fig(self, fig, fpath: str, show_fig: bool = False) -> None:
-        """(ssrs/simulator.py:754-758)"""
+        """(ssrs/simulator.py:754-758). Deliberately reference-exact:
+        with ``show_fig=True`` the figure is neither saved nor closed —
+        it is left open for the caller's pyplot/inline backend to
+        display (the reference behaves identically; notebooks rely on
+        the open figure)."""
         import matplotlib.pyplot as plt
         if not show_fig:
             fig.savefig(fpath, bbox_inches='tight', dpi=self.fig_dpi)
