@@ -43,6 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_up(x: int, m: int) -> int:
+    # deliberately the same function as simulate._round_up (importing
+    # it would be circular: simulate lazily imports this module); the
+    # padding semantics must match simulate.TrackParams.padded_grid
     return ((x + m - 1) // m) * m
 
 

@@ -97,8 +97,9 @@ class TrackParams(NamedTuple):
     # presence accumulation for the XLA step: 'auto' = one-hot int8 MXU
     # matmul histogram for grids with nrow+ncol <= 4096 (exact, ~25%
     # faster end-to-end than XLA's serialized scatter-add), plain
-    # 'scatter' for larger grids (one-hot bandwidth scales with
-    # nrow+ncol). 'none' = no presence in the step (caller accumulates).
+    # 'scatter' past the measured ~1.1M-cell area crossover
+    # (_presence_matmul_ok). 'none' = no presence in the step (caller
+    # accumulates).
     # The measured-loser 'pallas'/'chunk-hist' impls were pruned in
     # round 3 (negative results preserved in docs/DESIGN.md); the batch
     # histogram kernel itself lives on in agents/pallas_hist.py.
@@ -110,6 +111,29 @@ class TrackParams(NamedTuple):
     def padded_grid(self) -> Tuple[int, int]:
         return (_round_up(self.grid_shape[0], 8),
                 _round_up(self.grid_shape[1], 128))
+
+
+def _presence_matmul_ok(grid_shape) -> bool:
+    """presence 'auto': one-hot MXU matmul vs serialized scatter.
+
+    The matmul's MACs scale with grid AREA x agents while the scatter
+    is a flat ~11 ns/point issue floor, so the criterion must be area,
+    not the old nrow+ncol <= 4096 (which kept the matmul all the way
+    to 2048x2048, a measured 2.6x loss). Measured crossover on v5e at
+    N=98,304 (scripts/exp_presence_boundaries.py, marginal us/step,
+    fused hybrid step):
+
+        area    matmul  scatter
+        0.30M     1149     1137   (in-kernel histogram wins here anyway)
+        0.72M     1453     2149
+        1.05M     1740     2156
+        1.21M     2874     2228
+        1.68M     3449     2190
+        4.19M     6402     2495
+
+    The ratio is N-independent (both sides scale linearly with agent
+    count), so the boundary sits at ~1.1M cells for any population."""
+    return grid_shape[0] * grid_shape[1] <= 1_100_000
 
 
 def _fused_fits(params: TrackParams) -> bool:
@@ -124,6 +148,12 @@ def _fused_fits(params: TrackParams) -> bool:
 
 def resolve_step_impl(params: TrackParams, has_table: bool) -> str:
     impl = params.step_impl
+    if impl not in ('auto', 'fused', 'fused-interpret', 'xla'):
+        # a typo must not silently lose the ~1.43x fused engine (the
+        # presence_impl knob validates the same way in make_step_fn)
+        raise ValueError(
+            f"step_impl={impl!r}: expected one of 'auto', 'fused', "
+            "'fused-interpret', 'xla'")
     if impl == 'auto':
         if has_table and jax.default_backend() == 'tpu':
             # grids past the VMEM budget run the hybrid regime (fused
@@ -320,8 +350,9 @@ def flush_pending(params: TrackParams, state: SimState) -> SimState:
     impl = params.presence_impl
     if impl == 'none':
         return state._replace(palive=jnp.zeros_like(state.palive))
-    use_matmul = (impl in ('auto', 'matmul') and
-                  sum(params.grid_shape) <= 4096)
+    use_matmul = (impl == 'matmul' or
+                  (impl == 'auto' and
+                   _presence_matmul_ok(params.grid_shape)))
     upd = _hist_padded(state.pos_r, state.pos_c, state.palive,
                        nrow_p, ncol_p, use_matmul)
     return state._replace(presence=state.presence + upd,
@@ -394,11 +425,12 @@ def _make_fused_step(params: TrackParams, base_flat: jax.Array,
         hist_mode = 'none'
         ext_hist = True
     # the external histogram follows the same policy as the XLA step /
-    # flush_pending: one-hot matmul for small grids, scatter beyond
-    # (the matmul's MACs scale with grid AREA x agents — measured dead
-    # end at 2048^2, scripts/exp_fused_large.py)
-    ext_matmul = (params.presence_impl in ('auto', 'matmul')
-                  and sum(params.grid_shape) <= 4096)
+    # flush_pending: one-hot matmul while the grid AREA is under the
+    # measured ~1.1M-cell crossover, scatter beyond
+    # (_presence_matmul_ok; scripts/exp_presence_boundaries.py)
+    ext_matmul = (params.presence_impl == 'matmul'
+                  or (params.presence_impl == 'auto'
+                      and _presence_matmul_ok(params.grid_shape)))
 
     def step(state: SimState, u: Optional[jax.Array] = None) -> SimState:
         n = state.pos_r.shape[0]
@@ -427,7 +459,7 @@ def _make_fused_step(params: TrackParams, base_flat: jax.Array,
         return SimState(pos_r=new_r, pos_c=new_c, mem=new_mem,
                         alive=alive, palive=alive.astype(jnp.int32),
                         key=key, presence=presence,
-                        step=state.step + 1)
+                        step=jnp.minimum(state.step + 1, params.nsteps))
 
     return step
 
@@ -524,7 +556,8 @@ def _make_xla_step(params: TrackParams, base_flat: Optional[jax.Array],
 
         impl = params.presence_impl
         if impl == 'auto':
-            impl = 'matmul' if (nrow + ncol) <= 4096 else 'scatter'
+            impl = ('matmul' if _presence_matmul_ok(params.grid_shape)
+                    else 'scatter')
         if impl == 'none':
             presence = state.presence
         else:
@@ -534,9 +567,13 @@ def _make_xla_step(params: TrackParams, base_flat: Optional[jax.Array],
                                use_matmul=(impl == 'matmul'))
             presence = state.presence + upd
 
+        # the counter saturates at the cap: chunked drivers run whole
+        # chunks, so a free-running counter overshot by up to chunk-1
+        # in every reported steps_taken value
         return SimState(pos_r=new_r, pos_c=new_c, mem=new_mem,
                         alive=alive, palive=alive.astype(jnp.int32),
-                        key=key, presence=presence, step=state.step + 1)
+                        key=key, presence=presence,
+                        step=jnp.minimum(state.step + 1, params.nsteps))
 
     return step
 
@@ -839,29 +876,33 @@ def _norm_tail_bucket(tail_bucket, min_bucket: int) -> int:
         f'{tail_bucket!r}')
 
 
+def _compact_body(params: TrackParams, state: SimState, m: int):
+    """Shared compaction body: flush, stable-pack alive agents to the
+    front, truncate to bucket m. Returns (state, order) so the
+    track-recording driver can reorder its ids with the same permutation
+    — ONE definition keeps the presence and recording drivers'
+    compaction semantics from drifting."""
+    state = flush_pending(params, state)
+    order = jnp.argsort(~state.alive, stable=True)[:m]
+    return state._replace(pos_r=state.pos_r[order],
+                          pos_c=state.pos_c[order],
+                          mem=state.mem[:, order],
+                          alive=state.alive[order],
+                          palive=state.palive[order]), order
+
+
 @functools.partial(jax.jit, static_argnames=('params', 'm'))
 def _compact(params: TrackParams, state: SimState, m: int) -> SimState:
     """Pack alive agents to the front (stable) and truncate to bucket m.
     The pending delayed-presence update is flushed first — compaction
     reorders/drops agent slots, which would corrupt it."""
-    state = flush_pending(params, state)
-    order = jnp.argsort(~state.alive, stable=True)[:m]
-    return state._replace(pos_r=state.pos_r[order],
-                          pos_c=state.pos_c[order],
-                          mem=state.mem[:, order],
-                          alive=state.alive[order],
-                          palive=state.palive[order])
+    return _compact_body(params, state, m)[0]
 
 
 @functools.partial(jax.jit, static_argnames=('params', 'm'))
 def _compact_ids(params: TrackParams, state: SimState, ids, m: int):
-    state = flush_pending(params, state)
-    order = jnp.argsort(~state.alive, stable=True)[:m]
-    return state._replace(pos_r=state.pos_r[order],
-                          pos_c=state.pos_c[order],
-                          mem=state.mem[:, order],
-                          alive=state.alive[order],
-                          palive=state.palive[order]), ids[order]
+    state, order = _compact_body(params, state, m)
+    return state, ids[order]
 
 
 @functools.partial(jax.jit, static_argnames=('params',))
@@ -1257,7 +1298,11 @@ def simulate_presence_cases_compacting(params: TrackParams, base_tables,
                 f'for {n_cases} cases')
         per_case_starts = True
     else:
-        start_rc = np.asarray(start_rc)
+        # device-resident starts pass through untouched (as in the
+        # single-case _pad_starts) — np.asarray here would pull them
+        # back through the tunnel just to re-upload in prepare_starts
+        if not isinstance(start_rc, jax.Array):
+            start_rc = np.asarray(start_rc)
         if start_rc.ndim not in (2, 3):
             raise ValueError(
                 'start_rc must be (N, 2) shared starts or (C, N, 2) '
@@ -1268,8 +1313,7 @@ def simulate_presence_cases_compacting(params: TrackParams, base_tables,
                 f'per-case start_rc has {len(start_rc)} entries for '
                 f'{n_cases} cases')
     if per_case_starts:
-        prepared = [prepare_starts(params, np.asarray(start_rc[i]),
-                                   valid)
+        prepared = [prepare_starts(params, start_rc[i], valid)
                     for i in range(n_cases)]
     else:
         prepared = [prepare_starts(params, start_rc, valid)] * n_cases

@@ -155,7 +155,8 @@ class Config:
     # 'fused', 'xla' (ssrs_tpu.agents.simulate module docstring)
     track_step_impl: str = 'auto'
     # presence accumulation inside the XLA step: 'auto' (one-hot MXU
-    # matmul for nrow+ncol <= 4096, else scatter), 'matmul', 'scatter'
+    # matmul below the measured ~1.1M-cell grid-area crossover, scatter
+    # beyond — agents/simulate._presence_matmul_ok), 'matmul', 'scatter'
     track_presence_impl: str = 'auto'
     # compacting-driver tail switch: 0 = one-dispatch tail at the
     # minimum bucket (deterministic default), a positive int = switch at
