@@ -12,6 +12,54 @@ from ssrs_tpu.agents.simulate import (FUSED_BLK, GATHER_VMEM_BUDGET,
 from ssrs_tpu.agents.moves import directional_probs
 
 
+def test_presence_matmul_area_policy():
+    """presence 'auto' picks the one-hot matmul by grid AREA (measured
+    ~1.1M-cell crossover, docs/DESIGN.md 'the presence-policy
+    boundaries, measured') — the old nrow+ncol<=4096 rule kept the
+    matmul all the way to 2048^2, a measured 1.3-2.6x per-step loss."""
+    from ssrs_tpu.agents.simulate import _presence_matmul_ok
+    assert _presence_matmul_ok((500, 600))
+    assert _presence_matmul_ok((1024, 1024))
+    assert not _presence_matmul_ok((1100, 1100))
+    assert not _presence_matmul_ok((1200, 1400))
+    # the old criterion's failure case: row+col == 4096 but 4.19M cells
+    assert not _presence_matmul_ok((2048, 2048))
+    # tall-thin grids with small area keep the matmul even at large
+    # row+col (the dimension the old rule punished for no reason)
+    assert _presence_matmul_ok((4000, 250))
+
+
+def test_step_impl_typo_raises():
+    """A step_impl typo must raise, not silently downgrade to XLA."""
+    import pytest
+    from ssrs_tpu.agents.simulate import resolve_step_impl
+    p = TrackParams(grid_shape=(50, 60), move_dirn=0., nu=1.,
+                    memory_k=1, burnin=5, nsteps=100,
+                    step_impl='fuesd')
+    with pytest.raises(ValueError, match='fuesd'):
+        resolve_step_impl(p, True)
+
+
+def test_steps_counter_saturates_at_cap(rng):
+    """The reported steps_taken must not overshoot params.nsteps even
+    though the chunked drivers run whole chunks (the counter used to
+    free-run to the next chunk boundary)."""
+    nrow, ncol = 40, 48
+    params = TrackParams(grid_shape=(nrow, ncol), move_dirn=0., nu=1.,
+                         memory_k=1, burnin=4, nsteps=100,
+                         step_impl='xla')
+    updraft = jnp.asarray(rng.random((nrow, ncol), np.float32) + 0.5)
+    potential = jnp.asarray(np.linspace(1000., 0., nrow)[:, None]
+                            * np.ones((1, ncol), np.float32))
+    starts = np.stack([np.full(64, nrow // 2), np.full(64, ncol // 2)],
+                      axis=1).astype(np.int32)
+    import jax
+    _, steps = simulate_presence(params, starts, jax.random.key(0),
+                                 updraft=updraft, potential=potential,
+                                 chunk=64)
+    assert int(steps) <= params.nsteps
+
+
 def test_resolve_weight_dtype_policy():
     # explicit tiers pass through at any size
     assert resolve_weight_dtype('float32', (4096, 4096)) == 'float32'
